@@ -1,0 +1,170 @@
+"""World: scene container + lowering to device SoA arrays.
+
+The reference World (hittable/world.rs:10-78) holds boxed trait objects and a
+named material registry. Here World is the same user-facing container, but
+`build()` lowers it to a `SceneArrays` pytree: padded struct-of-arrays that a
+whole batch of rays intersects with dense, MXU-friendly math. Primitive-count
+padding keeps shapes static across scenes of similar size (one XLA compile
+per size class); padded slots are masked out with `*_valid`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyraytracer_tpu.models.geometry import Geometry, flatten_geometry
+from tinyraytracer_tpu.models.materials import Material
+
+# Lane width of the TPU VPU: (rays, prims) buffers put the primitive axis on
+# lanes, so padding prim counts to 128 costs nothing the hardware wouldn't
+# already spend — and buys shape reuse across scenes.
+_PRIM_PAD = 128
+_MAT_PAD = 8
+
+
+def _round_up(n: int, m: int) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneArrays:
+    """Device-side scene: SoA arrays, the unit of jit/vjp/sharding.
+
+    Float leaves (centers, radii, quad vectors, material params) are the
+    differentiable scene parameters; int/bool leaves are structure.
+    """
+
+    sph_center: jax.Array  # (Ns, 3) f32
+    sph_radius: jax.Array  # (Ns,)   f32
+    sph_mat: jax.Array     # (Ns,)   i32 — row in the material table
+    sph_valid: jax.Array   # (Ns,)   bool
+
+    quad_corner: jax.Array  # (Nq, 3) f32
+    quad_u: jax.Array       # (Nq, 3) f32
+    quad_v: jax.Array       # (Nq, 3) f32
+    quad_mat: jax.Array     # (Nq,)   i32
+    quad_valid: jax.Array   # (Nq,)   bool
+
+    mat_kind: jax.Array    # (M,)   i32 — materials.LAMBERTIAN/METAL/...
+    mat_albedo: jax.Array  # (M, 3) f32
+    mat_fuzz: jax.Array    # (M,)   f32
+    mat_ior: jax.Array     # (M,)   f32
+    mat_emit: jax.Array    # (M, 3) f32
+
+    @property
+    def num_spheres(self) -> int:
+        return int(self.sph_center.shape[0])
+
+    @property
+    def num_quads(self) -> int:
+        return int(self.quad_corner.shape[0])
+
+    def replace(self, **kw) -> "SceneArrays":
+        return dataclasses.replace(self, **kw)
+
+
+class World:
+    """Scene container mirroring hittable/world.rs: geometry list + named
+    material registry. `add_material` rejects duplicate names the way the
+    reference panics (world.rs:27-33)."""
+
+    def __init__(self):
+        self._materials: Dict[str, Material] = {}
+        self._geometries: List[Geometry] = []
+
+    def add_material(self, name: str, material: Material) -> None:
+        if name in self._materials:
+            raise ValueError(f"material {name!r} already registered")
+        self._materials[name] = material
+
+    def get_material(self, name: str) -> Optional[Material]:
+        return self._materials.get(name)
+
+    def add_geometry(self, geometry: Geometry) -> None:
+        self._geometries.append(geometry)
+
+    @property
+    def geometries(self) -> Sequence[Geometry]:
+        return tuple(self._geometries)
+
+    @property
+    def material_names(self) -> Sequence[str]:
+        return tuple(self._materials.keys())
+
+    def build(self, prim_pad: int = _PRIM_PAD) -> SceneArrays:
+        """Lower to padded SoA device arrays."""
+        spheres, quads = flatten_geometry(self._geometries)
+        mat_index = {name: i for i, name in enumerate(self._materials)}
+        mats = list(self._materials.values())
+        if not mats:
+            raise ValueError("world has no materials")
+
+        def mat_id(name: str) -> int:
+            if name not in mat_index:
+                raise KeyError(f"geometry references unknown material {name!r}")
+            return mat_index[name]
+
+        ns = _round_up(len(spheres), prim_pad) if spheres else prim_pad
+        nq = _round_up(len(quads), prim_pad) if quads else prim_pad
+        nm = _round_up(len(mats), _MAT_PAD)
+
+        sph_center = np.zeros((ns, 3), np.float32)
+        sph_radius = np.zeros((ns,), np.float32)
+        sph_mat = np.zeros((ns,), np.int32)
+        sph_valid = np.zeros((ns,), bool)
+        for i, s in enumerate(spheres):
+            sph_center[i] = s.center
+            sph_radius[i] = s.radius
+            sph_mat[i] = mat_id(s.material)
+            sph_valid[i] = True
+
+        quad_corner = np.zeros((nq, 3), np.float32)
+        quad_u = np.zeros((nq, 3), np.float32)
+        quad_v = np.zeros((nq, 3), np.float32)
+        # Padded quads get degenerate u x v = 0; keep them numerically inert
+        # by giving them unit edges (they are masked by quad_valid anyway).
+        quad_u[:, 0] = 1.0
+        quad_v[:, 1] = 1.0
+        quad_mat = np.zeros((nq,), np.int32)
+        quad_valid = np.zeros((nq,), bool)
+        for i, q in enumerate(quads):
+            quad_corner[i] = q.corner
+            quad_u[i] = q.u
+            quad_v[i] = q.v
+            quad_mat[i] = mat_id(q.material)
+            quad_valid[i] = True
+
+        mat_kind = np.zeros((nm,), np.int32)
+        mat_albedo = np.zeros((nm, 3), np.float32)
+        mat_fuzz = np.zeros((nm,), np.float32)
+        mat_ior = np.ones((nm,), np.float32)
+        mat_emit = np.zeros((nm, 3), np.float32)
+        for i, m in enumerate(mats):
+            mat_kind[i] = m.kind
+            mat_albedo[i] = m.albedo
+            mat_fuzz[i] = m.fuzz
+            mat_ior[i] = m.ior
+            mat_emit[i] = m.emission
+
+        return SceneArrays(
+            sph_center=jnp.asarray(sph_center),
+            sph_radius=jnp.asarray(sph_radius),
+            sph_mat=jnp.asarray(sph_mat),
+            sph_valid=jnp.asarray(sph_valid),
+            quad_corner=jnp.asarray(quad_corner),
+            quad_u=jnp.asarray(quad_u),
+            quad_v=jnp.asarray(quad_v),
+            quad_mat=jnp.asarray(quad_mat),
+            quad_valid=jnp.asarray(quad_valid),
+            mat_kind=jnp.asarray(mat_kind),
+            mat_albedo=jnp.asarray(mat_albedo),
+            mat_fuzz=jnp.asarray(mat_fuzz),
+            mat_ior=jnp.asarray(mat_ior),
+            mat_emit=jnp.asarray(mat_emit),
+        )

@@ -1,0 +1,120 @@
+"""User-facing Renderer, mirroring the reference API surface.
+
+Reference: `Renderer::new(samples_per_pixel, num_sampler_threads, max_bounces,
+progressbar, background_color)` + `render(camera, world) -> Image`
+(renderer/renderer.rs:21-79). The three-stage channel pipeline
+(pointgen -> sampler -> imager) is not load-bearing on TPU: generation,
+tracing, and accumulation fuse into one XLA program (ops/trace.py). What
+remains of "num_sampler_threads" is the device mesh — pass `mesh_devices`
+to shard pixels across chips (parallel/); on a single chip it is ignored,
+exactly as thread count never changed the reference's output.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyraytracer_tpu.models.camera import Camera
+from tinyraytracer_tpu.models.world import World, SceneArrays
+from tinyraytracer_tpu.ops import trace as trace_ops
+from tinyraytracer_tpu.ops import tonemap
+from tinyraytracer_tpu.utils.image import Image
+from tinyraytracer_tpu.utils.progress import ProgressBar
+
+
+class Renderer:
+    def __init__(
+        self,
+        samples_per_pixel: int,
+        num_sampler_threads: int = 0,  # accepted for API parity; unused on TPU
+        max_bounces: int = 20,
+        progressbar: bool = False,
+        background_color: Optional[Tuple[float, float, float]] = None,
+        seed: int = 0,
+        devices: Optional[Sequence[jax.Device]] = None,
+        spp_per_round: int = 0,
+    ):
+        self.samples_per_pixel = int(samples_per_pixel)
+        self.max_bounces = int(max_bounces)
+        self.progressbar = bool(progressbar)
+        # default background is black (renderer.rs:33)
+        self.background_color = (
+            (0.0, 0.0, 0.0) if background_color is None else tuple(background_color)
+        )
+        self.seed = int(seed)
+        self.devices = devices
+        # Progress granularity: samples per jit call when progressbar is on.
+        self.spp_per_round = int(spp_per_round) if spp_per_round else 0
+
+    # -- core --------------------------------------------------------------
+
+    def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
+        """Linear-radiance (H, W, 3) framebuffer on device."""
+        if self.devices is not None and len(self.devices) > 1:
+            from tinyraytracer_tpu.parallel.sharded import render_image_sharded
+
+            return render_image_sharded(
+                scene,
+                camera,
+                spp=self.samples_per_pixel,
+                max_bounces=self.max_bounces,
+                background=self.background_color,
+                seed=self.seed,
+                devices=self.devices,
+            )
+        return trace_ops.render_image(
+            scene,
+            camera,
+            spp=self.samples_per_pixel,
+            max_bounces=self.max_bounces,
+            background=jnp.asarray(self.background_color, jnp.float32),
+            seed=self.seed,
+        )
+
+    def render(self, camera: Camera, world: World) -> Image:
+        """Full render to a gamma-2.2 Image (the reference's end product)."""
+        scene = world.build() if isinstance(world, World) else world
+        if self.progressbar:
+            fb = self._render_with_progress(camera, scene)
+        else:
+            fb = self.render_array(camera, scene)
+        return Image.from_linear(np.asarray(fb), gamma=tonemap.GAMMA)
+
+    def _render_with_progress(self, camera: Camera, scene: SceneArrays):
+        """Chunk samples into rounds so the host can tick a progress bar —
+        the analog of the reference's per-pixel indicatif ticks
+        (renderer/imager.rs:52-57), at per-sample-round granularity (per-ray
+        callbacks would serialize the device)."""
+        spp = self.samples_per_pixel
+        chunk = self.spp_per_round or max(1, spp // 20)
+        rounds = [
+            (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
+        ]
+        w, h = camera.width, camera.height
+        pixel_id = jnp.arange(w * h, dtype=jnp.uint32)
+        acc = jnp.zeros((w * h, 3), jnp.float32)
+        bar = ProgressBar(total=spp, label="spp")
+        render_chunk = jax.jit(
+            trace_ops.render_pixels,
+            static_argnames=("spp", "max_bounces", "exact"),
+        )
+        for off, n in rounds:
+            part = render_chunk(
+                scene,
+                camera,
+                pixel_id,
+                spp=n,
+                max_bounces=self.max_bounces,
+                background=jnp.asarray(self.background_color, jnp.float32),
+                seed=jnp.uint32(self.seed),
+                spp_offset=jnp.uint32(off),
+            )
+            acc = acc + part * (n / spp)
+            bar.update(n)
+        bar.close()
+        return acc.reshape(h, w, 3)
