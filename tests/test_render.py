@@ -1,0 +1,93 @@
+"""End-to-end render tests: determinism, accumulation math (the Imager's
+mean + gamma pipeline, renderer/imager.rs:46-57), and small statistical
+sanity checks. Full golden-image comparisons against the reference renders
+live in scripts/golden_check.py (slow; run on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyraytracer_tpu import Renderer
+from tinyraytracer_tpu.models import presets
+from tinyraytracer_tpu.ops import tonemap
+from tinyraytracer_tpu.ops.trace import render_image
+from tinyraytracer_tpu.utils.image import Image
+
+
+def test_render_deterministic_same_seed():
+    world, cam, kw = presets.sphere_ground(32, 18)
+    scene = world.build()
+    a = np.asarray(
+        render_image(scene, cam, spp=4, max_bounces=4,
+                     background=jnp.asarray(kw["background"]), seed=1)
+    )
+    b = np.asarray(
+        render_image(scene, cam, spp=4, max_bounces=4,
+                     background=jnp.asarray(kw["background"]), seed=1)
+    )
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(
+        render_image(scene, cam, spp=4, max_bounces=4,
+                     background=jnp.asarray(kw["background"]), seed=2)
+    )
+    assert not np.array_equal(a, c)
+
+
+def test_render_structure_sphere_ground():
+    world, cam, kw = presets.sphere_ground(64, 36)
+    r = Renderer(samples_per_pixel=8, max_bounces=kw["max_bounces"],
+                 background_color=kw["background"])
+    img = r.render(cam, world).data
+    assert img.shape == (36, 64, 3)
+    assert np.isfinite(img).all()
+    # sky at top: close to gamma(background)
+    sky = img[0, 0]
+    bg = np.asarray(kw["background"]) ** (1 / 2.2)
+    np.testing.assert_allclose(sky, bg, atol=0.1)
+    # ground (yellow albedo 0.8,0.8,0.0): blue channel much darker at bottom
+    ground = img[-1].mean(axis=0)
+    assert ground[0] > 2.0 * ground[2] and ground[1] > 2.0 * ground[2]
+
+
+def test_progressbar_path_matches_plain_render():
+    world, cam, kw = presets.sphere_ground(16, 9)
+    plain = Renderer(samples_per_pixel=6, max_bounces=3,
+                     background_color=kw["background"], seed=5)
+    prog = Renderer(samples_per_pixel=6, max_bounces=3,
+                    background_color=kw["background"], seed=5,
+                    progressbar=True, spp_per_round=2)
+    a = plain.render(cam, world).data
+    b = prog.render(cam, world).data
+    # same sample ids are consumed in both paths -> identical image
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_cornell_energy_comes_from_light():
+    """With a near-black background the only energy source is the ceiling
+    light; image mean must be positive and the light pixels saturated."""
+    world, cam, kw = presets.cornell_box(48, 48)
+    r = Renderer(samples_per_pixel=16, max_bounces=8,
+                 background_color=kw["background"], seed=0)
+    img = r.render(cam, world).data
+    assert img.mean() > 0.05
+    assert img.max() > 0.9  # the light itself (emission 15) saturates
+
+
+def test_tonemap_roundtrip():
+    x = jnp.asarray([[[0.0, 0.5, 1.2]]])
+    g = np.asarray(tonemap.gamma_correct(x))
+    np.testing.assert_allclose(g[0, 0, 1], 0.5 ** (1 / 2.2), atol=1e-6)
+    u8 = np.asarray(tonemap.to_u8(jnp.asarray(g)))
+    assert u8[0, 0, 2] == 254  # clamp 0.999 * 255 = 254.7 -> truncates to 254
+    assert u8[0, 0, 0] == 0
+
+
+def test_image_save_png(tmp_path):
+    img = Image.from_linear(np.random.default_rng(0).random((8, 8, 3)).astype(np.float32))
+    p = tmp_path / "t.png"
+    img.save(str(p))
+    from PIL import Image as PILImage
+
+    loaded = np.asarray(PILImage.open(p))
+    assert loaded.shape == (8, 8, 3)
+    np.testing.assert_array_equal(loaded, img.to_u8())
