@@ -1,0 +1,178 @@
+"""Differentiability gates (BASELINE.md acceptance):
+
+  - analytic pixel gradients match central finite differences;
+  - the sharded training step's gradients match the single-device ones;
+  - a short inverse-rendering fit recovers a perturbed albedo;
+  - optimizer checkpoint save/resume round-trips.
+
+The FD scene is a large sphere filling the whole view (camera staring
+straight down at it) so no silhouette crosses the image: visibility is
+locally constant and the analytic gradient (which detaches the discrete
+hit selection) equals the true derivative.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyraytracer_tpu.diff import inverse
+from tinyraytracer_tpu.diff.params import apply_params, scene_params
+from tinyraytracer_tpu.models.camera import Camera
+from tinyraytracer_tpu.models.geometry import Sphere
+from tinyraytracer_tpu.models.materials import Lambertian, Light
+from tinyraytracer_tpu.models.world import World
+from tinyraytracer_tpu.ops import trace as trace_ops
+
+
+W, H = 12, 10
+SPP = 2
+BOUNCES = 3
+BG = (0.7, 0.8, 1.0)
+
+
+@pytest.fixture(scope="module")
+def down_scene():
+    world = World()
+    world.add_material("ground", Lambertian((0.4, 0.5, 0.6)))
+    world.add_geometry(Sphere((0.0, -100.0, 0.0), 100.0, "ground"))
+    camera = Camera.new(
+        focus_distance=1.0,
+        defocus_angle=0.0,
+        position=(0.0, 3.0, 0.0),
+        look_at=(0.0, 0.0, 0.001),  # almost straight down
+        up=(0.0, 0.0, 1.0),
+        vertical_fov=60.0,
+        width=W,
+        height=H,
+    )
+    return world.build(), camera
+
+
+def _mean_render(scene, camera):
+    img = trace_ops.render_image(
+        scene,
+        camera,
+        spp=SPP,
+        max_bounces=BOUNCES,
+        background=jnp.asarray(BG, jnp.float32),
+        seed=7,
+    )
+    return jnp.mean(img)
+
+
+@pytest.mark.parametrize(
+    "field,idx,eps",
+    [
+        ("mat_albedo", (0, 1), 1e-2),
+        ("sph_radius", (0,), 3e-2),
+        ("sph_center", (0, 1), 3e-2),
+    ],
+)
+def test_gradient_matches_finite_differences(down_scene, field, idx, eps):
+    scene, camera = down_scene
+
+    def loss_wrt(v):
+        arr = getattr(scene, field).at[idx].set(v)
+        return _mean_render(scene.replace(**{field: arr}), camera)
+
+    v0 = getattr(scene, field)[idx]
+    g = jax.grad(loss_wrt)(v0)
+    f_plus = loss_wrt(v0 + eps)
+    f_minus = loss_wrt(v0 - eps)
+    fd = (float(f_plus) - float(f_minus)) / (2 * eps)
+    assert np.isfinite(float(g))
+    assert abs(float(g) - fd) <= 0.05 * max(abs(fd), 1e-3), (
+        f"{field}{idx}: analytic {float(g):.6f} vs FD {fd:.6f}"
+    )
+
+
+def test_emission_gradient_matches_fd():
+    """Gradient through the emission term (light-material path)."""
+    world = World()
+    world.add_material("ground", Lambertian((0.5, 0.5, 0.5)))
+    world.add_material("lamp", Light((4.0, 4.0, 4.0)))
+    world.add_geometry(Sphere((0.0, -100.0, 0.0), 100.0, "ground"))
+    world.add_geometry(Sphere((0.0, 2.0, -1.0), 0.8, "lamp"))
+    scene = world.build()
+    camera = Camera.new(1.0, 0.0, (0.0, 1.0, 3.0), (0.0, 1.0, 0.0),
+                        (0.0, 1.0, 0.0), 60.0, W, H)
+
+    def loss_wrt(e):
+        arr = scene.mat_emit.at[(1, 0)].set(e)
+        return _mean_render(scene.replace(mat_emit=arr), camera)
+
+    v0 = scene.mat_emit[1, 0]
+    g = float(jax.grad(loss_wrt)(v0))
+    eps = 1e-2
+    fd = (float(loss_wrt(v0 + eps)) - float(loss_wrt(v0 - eps))) / (2 * eps)
+    assert abs(g - fd) <= 0.03 * max(abs(fd), 1e-3)
+
+
+def test_sharded_grads_match_single_device(down_scene):
+    scene, camera = down_scene
+    target = np.zeros((H, W, 3), np.float32)
+    from tinyraytracer_tpu.parallel.sharded import make_mesh
+
+    kw = dict(spp=4, max_bounces=BOUNCES, background=BG, seed=3)
+    step1, (p1, s1) = inverse.make_train_step(scene, camera, target, **kw)
+    stepN, (pN, sN) = inverse.make_train_step(
+        scene, camera, target, mesh=make_mesh(sample_parallel=2), **kw
+    )
+    p1b, _, l1 = step1(p1, s1, 0)
+    pNb, _, lN = stepN(pN, sN, 0)
+    assert abs(float(l1) - float(lN)) < 1e-5 * max(1.0, abs(float(l1)))
+    for k in p1b:
+        np.testing.assert_allclose(
+            np.asarray(p1b[k]), np.asarray(pNb[k]), rtol=1e-3, atol=1e-6
+        )
+
+
+def test_inverse_fit_recovers_albedo(down_scene):
+    scene, camera = down_scene
+    target = trace_ops.render_image(
+        scene, camera, spp=8, max_bounces=BOUNCES,
+        background=jnp.asarray(BG, jnp.float32), seed=11,
+    )
+    # Perturb the ground albedo and fit it back. Same seed/spp as the
+    # target and advance_samples=False make the target exactly achievable
+    # (at tiny spp, fresh-sample SGD would also descend the estimator
+    # variance and converge off the true albedo — see make_train_step).
+    wrong = scene.replace(mat_albedo=scene.mat_albedo.at[0].set(
+        jnp.asarray([0.9, 0.1, 0.2])))
+    # trainable restricts the fit to the albedo: with every float field
+    # free, geometry shifts can compensate for a wrong albedo and reach
+    # near-zero loss at the wrong scene (see make_train_step docstring).
+    step, (params, opt_state) = inverse.make_train_step(
+        wrong, camera, target, spp=8, max_bounces=BOUNCES,
+        background=BG, seed=11, learning_rate=5e-2, advance_samples=False,
+        trainable=("mat_albedo",),
+    )
+    first = None
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state, i)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.01 * first, (first, float(loss))
+    fitted = np.asarray(params["mat_albedo"][0])
+    np.testing.assert_allclose(fitted, [0.4, 0.5, 0.6], atol=0.05)
+
+
+def test_checkpoint_roundtrip(tmp_path, down_scene):
+    scene, camera = down_scene
+    target = np.zeros((H, W, 3), np.float32)
+    step, (params, opt_state) = inverse.make_train_step(
+        scene, camera, target, spp=2, max_bounces=2, background=BG, seed=0,
+    )
+    params, opt_state, _ = step(params, opt_state, 0)
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    inverse.save_checkpoint(path, params, opt_state, 1)
+    p2, s2, step_idx = inverse.load_checkpoint(path, opt_state)
+    assert step_idx == 1
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(p2[k]))
+    # The restored state must be steppable.
+    p3, s3, loss = step(p2, s2, 1)
+    assert np.isfinite(float(loss))

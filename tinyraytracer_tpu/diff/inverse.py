@@ -1,0 +1,290 @@
+"""Inverse rendering: gradient-descent recovery of scene parameters.
+
+BASELINE.md config 5: recover Cornell sphere positions / albedos from a
+target image by gradient descent, sharded across the device mesh. The
+reference has no differentiability at all (SURVEY.md §5) — this is the
+new-capability half of the north star.
+
+Design notes (TPU-first):
+  - The renderer is an expectation over (pixel jitter, scatter) randomness;
+    the loss uses a *fresh sample round per step* (spp_offset advances with
+    the step counter), so optimization is stochastic gradient descent over
+    the true expected-loss landscape rather than overfitting one noise draw.
+  - Discrete events (closest-hit argmin, dielectric reflect-vs-refract,
+    light absorption) are detached by construction in ops/ — gradients flow
+    through the continuous geometry/shading terms (reparameterized sampling:
+    scatter directions are smooth functions of the surface normal).
+  - The whole step (render → loss → backward → optimizer update, with the
+    sample-axis pmean and the tile-axis gradient psum that shard_map's
+    transpose inserts) is ONE jitted XLA program; the scene-gradient
+    all-reduce overlaps with the backward bounce loop under XLA's scheduler.
+  - Optimizer state checkpointing (save/restore) covers the reference's
+    missing checkpoint/resume subsystem (SURVEY.md §5) for long fits.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tinyraytracer_tpu.diff.params import Params, apply_params, scene_params
+from tinyraytracer_tpu.models.camera import Camera
+from tinyraytracer_tpu.models.world import SceneArrays
+from tinyraytracer_tpu.ops import trace as trace_ops
+from tinyraytracer_tpu.parallel import sharded
+
+
+def image_mse(img, target):
+    """Mean squared error in linear radiance."""
+    return jnp.mean((img - target) ** 2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "exact"),
+)
+def render_loss(
+    params: Params,
+    scene: SceneArrays,
+    camera: Camera,
+    target,
+    *,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed,
+    spp_offset=0,
+    exact: bool = False,
+):
+    """Single-device MSE between a fresh render and the target image."""
+    s = apply_params(scene, params)
+    w, h = camera.width, camera.height
+    pixel_id = jnp.arange(w * h, dtype=jnp.uint32)
+    img = trace_ops.render_pixels(
+        s,
+        camera,
+        pixel_id,
+        spp=spp,
+        max_bounces=max_bounces,
+        background=background,
+        seed=seed,
+        exact=exact,
+        spp_offset=spp_offset,
+    )
+    return image_mse(img, target.reshape(-1, 3))
+
+
+def make_train_step(
+    scene_template: SceneArrays,
+    camera: Camera,
+    target,
+    *,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed: int = 0,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-2,
+    mesh: Optional[Mesh] = None,
+    advance_samples: bool = True,
+    trainable: Optional[Tuple[str, ...]] = None,
+) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
+    """Build a jitted SGD step over the scene params (optionally sharded).
+
+    Returns (step, (params0, opt_state0)); step(params, opt_state, step_idx)
+    -> (params, opt_state, loss). When `mesh` is given, pixels shard over
+    its "tile" axis and samples over its "sample" axis; shard_map's
+    transpose inserts the cross-device psum on the replicated scene grads.
+
+    `advance_samples` (default): each step draws a fresh sample round, i.e.
+    true SGD over the expected loss. Note the estimator-variance bias this
+    carries at tiny spp: E||X - t||^2 = ||EX - t||^2 + Var(X), so the
+    optimizer also descends Var(X) and the minimizer shifts off the true
+    scene. Use a generous spp for recovery tasks, or set
+    advance_samples=False to fit the fixed sample estimator exactly (useful
+    when the target was rendered with the same seed/spp).
+
+    `trainable` restricts optimization to the named param fields (e.g.
+    ("sph_center", "mat_albedo") for the config-5 recovery task); gradients
+    of the other fields are zeroed. With every field free, the problem is
+    badly under-determined — geometry changes can compensate for material
+    changes and reach near-zero loss away from the true scene.
+    """
+    optimizer = optimizer or optax.adam(learning_rate)
+    background = jnp.asarray(background, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    base_seed = jnp.uint32(seed)
+
+    if mesh is not None:
+        n_tile = mesh.shape[sharded.TILE_AXIS]
+        n_sample = mesh.shape[sharded.SAMPLE_AXIS]
+        if spp % n_sample != 0:
+            raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
+        spp_local = spp // n_sample
+        stride = jnp.uint32(spp if advance_samples else 0)
+        w, h = camera.width, camera.height
+        npix = w * h
+        pixel_id = sharded._padded_pixel_ids(npix, n_tile)
+        total = pixel_id.shape[0]
+        # Pad the target the same way so pixel/target stay aligned per shard.
+        tgt_flat = target.reshape(-1, 3)
+        tgt_pad = jnp.take(tgt_flat, jnp.asarray(pixel_id, jnp.int32), axis=0)
+        # Padded duplicate pixels would double-count in the loss; weight them 0.
+        weight = (jnp.arange(total, dtype=jnp.uint32) < jnp.uint32(npix)).astype(
+            jnp.float32
+        )
+
+        def loss_fn(params, step_idx):
+            s = apply_params(scene_template, params)
+
+            def body(scene, camera, background, tgt, wgt, pids):
+                s_idx = jax.lax.axis_index(sharded.SAMPLE_AXIS).astype(jnp.uint32)
+                img = trace_ops.render_pixels(
+                    scene,
+                    camera,
+                    pids,
+                    spp=spp_local,
+                    max_bounces=max_bounces,
+                    background=background,
+                    seed=base_seed,
+                    spp_offset=step_idx * stride
+                    + s_idx * jnp.uint32(spp_local),
+                )
+                img = jax.lax.pmean(img, sharded.SAMPLE_AXIS)
+                se = jnp.sum(wgt[:, None] * (img - tgt) ** 2)
+                return jax.lax.psum(se, sharded.TILE_AXIS)
+
+            f = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(
+                    P(),
+                    P(),
+                    P(),
+                    P(sharded.TILE_AXIS),
+                    P(sharded.TILE_AXIS),
+                    P(sharded.TILE_AXIS),
+                ),
+                out_specs=P(),
+                check_vma=False,  # see parallel/sharded.py
+            )
+            se = f(s, camera, background, tgt_pad, weight, pixel_id)
+            return se / jnp.float32(npix * 3)
+
+    else:
+        stride = jnp.uint32(spp if advance_samples else 0)
+
+        def loss_fn(params, step_idx):
+            return render_loss(
+                params,
+                scene_template,
+                camera,
+                target,
+                spp=spp,
+                max_bounces=max_bounces,
+                background=background,
+                seed=base_seed,
+                spp_offset=step_idx * stride,
+            )
+
+    trainset = None if trainable is None else frozenset(trainable)
+
+    @jax.jit
+    def step(params, opt_state, step_idx):
+        loss, grads = jax.value_and_grad(loss_fn)(params, jnp.uint32(step_idx))
+        if trainset is not None:
+            grads = {
+                k: g if k in trainset else jnp.zeros_like(g)
+                for k, g in grads.items()
+            }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params0 = scene_params(scene_template)
+    return step, (params0, optimizer.init(params0))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §5: a capability the reference lacks).
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, params: Params, opt_state, step: int) -> None:
+    """Persist optimizer progress; atomic rename so a crash never corrupts."""
+    state = {
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "step": int(step),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(state, f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, opt_state_template=None):
+    """Returns (params, opt_state, step). opt_state arrays are re-hosted as
+    jnp; the template (from optimizer.init) restores the pytree structure."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    params = jax.tree.map(jnp.asarray, state["params"])
+    opt_state = state["opt_state"]
+    if opt_state_template is not None:
+        leaves = jax.tree.leaves(opt_state)
+        treedef = jax.tree.structure(opt_state_template)
+        opt_state = jax.tree.unflatten(treedef, [jnp.asarray(x) for x in leaves])
+    return params, opt_state, state["step"]
+
+
+def fit(
+    scene_template: SceneArrays,
+    camera: Camera,
+    target,
+    *,
+    steps: int,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed: int = 0,
+    learning_rate: float = 1e-2,
+    mesh: Optional[Mesh] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 50,
+    log_every: int = 0,
+) -> Tuple[SceneArrays, list]:
+    """Run `steps` of Adam on the scene params; returns (scene, loss curve).
+
+    Resumes from `checkpoint_path` if it exists.
+    """
+    step_fn, (params, opt_state) = make_train_step(
+        scene_template,
+        camera,
+        target,
+        spp=spp,
+        max_bounces=max_bounces,
+        background=background,
+        seed=seed,
+        learning_rate=learning_rate,
+        mesh=mesh,
+    )
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        params, opt_state, start = load_checkpoint(checkpoint_path, opt_state)
+    losses = []
+    for i in range(start, steps):
+        params, opt_state, loss = step_fn(params, opt_state, i)
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i + 1}/{steps}  loss {float(loss):.6f}")
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, params, opt_state, i + 1)
+    return apply_params(scene_template, params), losses

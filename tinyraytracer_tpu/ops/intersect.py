@@ -78,7 +78,9 @@ def sphere_ts(scene: SceneArrays, o, d, t_min, t_max, exact: bool = False):
         )
     disc = half_b * half_b - c_term
     has_root = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # sqrt's unselected branch must stay finite in the backward pass: a
+    # masked-out disc <= 0 would contribute 0-cotangent * inf = NaN.
+    sqrtd = jnp.sqrt(jnp.where(has_root, jnp.maximum(disc, 0.0), 1.0))
     t0 = -half_b - sqrtd  # near root (a == 1: directions are normalized)
     t1 = -half_b + sqrtd  # far root fallback (sphere.rs:42-46)
     in0 = (t0 >= t_min) & (t0 < t_max)
@@ -101,7 +103,7 @@ def quad_ts(scene: SceneArrays, o, d, t_min, t_max):
     corner, u, v = scene.quad_corner, scene.quad_u, scene.quad_v
     n = jnp.cross(u, v)                       # (Nq,3)
     nn = _dot(n, n)                           # (Nq,)
-    inv_nn = 1.0 / nn
+    inv_nn = 1.0 / jnp.maximum(nn, 1e-30)     # degenerate quads are masked
     d_plane = _dot(n, corner)                 # (Nq,)
     # alpha = (p x v) . (n/nn) = p . (v x n) / nn
     a_vec = jnp.cross(v, n) * inv_nn[:, None]   # (Nq,3)
@@ -109,8 +111,12 @@ def quad_ts(scene: SceneArrays, o, d, t_min, t_max):
     b_vec = jnp.cross(n, u) * inv_nn[:, None]   # (Nq,3)
 
     denom = d @ n.T                            # (R,Nq) — MXU
-    t = (d_plane[None, :] - o @ n.T) / denom   # (R,Nq)
-    in_range = (t >= t_min) & (t < t_max)
+    # Grazing rays (denom -> 0) give t -> inf; forward masking handles the
+    # value, but d(t)/d(denom) = -num/denom^2 must stay finite or the
+    # backward pass NaNs through the mask (0 * inf).
+    denom_safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = (d_plane[None, :] - o @ n.T) / denom_safe  # (R,Nq)
+    in_range = (t >= t_min) & (t < t_max) & (jnp.abs(denom) >= 1e-12)
 
     # p = o + t*d - corner; alpha = p.a_vec, beta = p.b_vec — all matmuls.
     o_a = o @ a_vec.T
@@ -125,6 +131,67 @@ def quad_ts(scene: SceneArrays, o, d, t_min, t_max):
     inside = (alpha >= 0.0) & (alpha < 1.0) & (beta >= 0.0) & (beta < 1.0)
     valid = in_range & inside & scene.quad_valid[None, :] & jnp.isfinite(t)
     return jnp.where(valid, t, MISS_T)
+
+
+def prim_t(scene: SceneArrays, o, d, j, t_min=T_MIN, t_max=MISS_T):
+    """t of each ray against its *single* global primitive j, in [t_min, t_max).
+
+    j: (R,) global index (spheres then quads). Sphere: near-then-far
+    quadratic roots (sphere.rs:29-54). Quad: plane t + half-open planar
+    bounds (quad.rs:33-54). This is the one differentiable t formula shared
+    by the brute-force and BVH paths — winner *selection* may use any fast
+    screening math, but the reported t (and therefore every gradient w.r.t.
+    scene parameters) always comes from here.
+    """
+    ns = scene.sph_center.shape[0]
+    nq = scene.quad_corner.shape[0]
+    is_quad = j >= ns
+    sj = jnp.clip(j, 0, ns - 1)
+    qj = jnp.clip(j - ns, 0, nq - 1)
+
+    # Sphere (exact oc = o - c form).
+    c = jnp.take(scene.sph_center, sj, axis=0)
+    r = jnp.take(scene.sph_radius, sj)
+    oc = o - c
+    half_b = jnp.sum(oc * d, axis=-1)
+    c_term = jnp.sum(oc * oc, axis=-1) - r * r
+    disc = half_b * half_b - c_term
+    has_root = disc >= 0.0
+    # NaN-safe backward: masked-out disc must stay finite under sqrt.
+    sqrtd = jnp.sqrt(jnp.where(has_root, jnp.maximum(disc, 0.0), 1.0))
+    t0 = -half_b - sqrtd
+    t1 = -half_b + sqrtd
+    in0 = (t0 >= t_min) & (t0 < t_max)
+    in1 = (t1 >= t_min) & (t1 < t_max)
+    ts = jnp.where(in0, t0, jnp.where(in1, t1, MISS_T))
+    ts = jnp.where(has_root, ts, MISS_T)
+
+    # Quad.
+    corner = jnp.take(scene.quad_corner, qj, axis=0)
+    qu = jnp.take(scene.quad_u, qj, axis=0)
+    qv = jnp.take(scene.quad_v, qj, axis=0)
+    n = jnp.cross(qu, qv)
+    nn = jnp.maximum(jnp.sum(n * n, axis=-1), 1e-30)
+    denom = jnp.sum(d * n, axis=-1)
+    # NaN-safe backward through the grazing-ray mask (0-cotangent * inf).
+    denom_safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    tq = (jnp.sum(n * corner, axis=-1) - jnp.sum(o * n, axis=-1)) / denom_safe
+    p = o + tq[:, None] * d - corner
+    alpha = jnp.sum(p * jnp.cross(qv, n), axis=-1) / nn
+    beta = jnp.sum(p * jnp.cross(n, qu), axis=-1) / nn
+    ok = (
+        (tq >= t_min)
+        & (tq < t_max)
+        & (alpha >= 0.0)
+        & (alpha < 1.0)
+        & (beta >= 0.0)
+        & (beta < 1.0)
+        & (jnp.abs(denom) >= 1e-12)
+        & jnp.isfinite(tq)
+    )
+    tq = jnp.where(ok, tq, MISS_T)
+
+    return jnp.where(is_quad, tq, ts)
 
 
 def _gather_materials(scene: SceneArrays, mat_id):
@@ -149,24 +216,44 @@ def intersect_scene(
     """Closest hit of each ray in (o, d) against the whole scene.
 
     Vectorized equivalent of walking World geometry / BVH::hit
-    (bvh.rs:88-107): compute all candidate ts, take the argmin. The discrete
-    winner index is detached by construction (argmin), while t and the
-    geometric quantities stay differentiable w.r.t. scene parameters through
-    the gathered branch.
+    (bvh.rs:88-107): compute all candidate ts, take the argmin. The dense
+    candidate pass is *selection only* (detached — the winner index is
+    discrete); the winner's t is recomputed by the shared differentiable
+    `prim_t`, so gradients flow through R winners instead of R×N candidates
+    and are identical between this path and the BVH path.
     """
-    ts = sphere_ts(scene, o, d, t_min, t_max, exact=exact)
-    tq = quad_ts(scene, o, d, t_min, t_max)
-    ns = ts.shape[1]
+    sel = jax.tree.map(jax.lax.stop_gradient, scene)
+    o_s = jax.lax.stop_gradient(o)
+    d_s = jax.lax.stop_gradient(d)
+    ts = sphere_ts(sel, o_s, d_s, t_min, t_max, exact=exact)
+    tq = quad_ts(sel, o_s, d_s, t_min, t_max)
     t_all = jnp.concatenate([ts, tq], axis=1)      # (R, Ns+Nq)
-    j = jnp.argmin(t_all, axis=1)                  # (R,) detached (int)
-    t = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
+    j = jnp.argmin(t_all, axis=1)                  # (R,)
+    t_sel = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
+    hit = t_sel < MISS_T
+    # Differentiable recompute; on the rare grazing ray where the screening
+    # formula and prim_t disagree about validity, keep the screened t.
+    t_re = prim_t(scene, o, d, j, t_min, t_max)
+    t = jnp.where(hit, jnp.where(t_re < MISS_T, t_re, t_sel), MISS_T)
+    return hit_record_from(scene, o, d, t, j)
+
+
+def hit_record_from(scene: SceneArrays, o, d, t, j) -> HitRecord:
+    """Assemble a HitRecord from winning hit t and global primitive index j.
+
+    j indexes spheres then quads (j >= Ns means quad j - Ns); t == MISS_T
+    means no hit. Shared by the brute-force path and the BVH traversal, so
+    both produce records (and gradients) through identical code.
+    """
+    ns = scene.sph_center.shape[0]
+    nq = scene.quad_corner.shape[0]
     hit = t < MISS_T
     t_safe = jnp.where(hit, t, 1.0)
     point = o + t_safe[:, None] * d
 
     is_quad = j >= ns
     sph_j = jnp.minimum(j, ns - 1)
-    quad_j = jnp.clip(j - ns, 0, tq.shape[1] - 1)
+    quad_j = jnp.clip(j - ns, 0, nq - 1)
 
     center = jnp.take(scene.sph_center, sph_j, axis=0)     # (R,3)
     sph_out = point - center                                # outward normal dir

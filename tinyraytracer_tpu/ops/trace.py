@@ -47,11 +47,15 @@ def trace(
     background,
     exact: bool = False,
     remat: bool = True,
+    bvh=None,
 ):
     """Path-trace a ray wavefront. Returns (R, 3) linear radiance.
 
     origins/directions: (R,3) with unit directions; pixel_id: (R,) u32;
-    sample_id: scalar u32; background: (3,) f32.
+    sample_id: scalar u32; background: (3,) f32. When `bvh` (a
+    ops.bvh.BVHArrays) is given, closest hits come from the threaded BVH
+    traversal instead of the dense all-primitives test — same hits, same
+    gradients (ops/bvh.py docstring), fewer intersections for big scenes.
     """
     r = origins.shape[0]
     init = (
@@ -64,7 +68,12 @@ def trace(
 
     def body(carry, bounce):
         o, d, throughput, color, alive = carry
-        rec = isect.intersect_scene(scene, o, d, exact=exact)
+        if bvh is not None:
+            from tinyraytracer_tpu.ops.bvh import intersect_scene_bvh
+
+            rec = intersect_scene_bvh(scene, bvh, o, d)
+        else:
+            rec = isect.intersect_scene(scene, o, d, exact=exact)
 
         hit_live = alive & rec.hit
         miss_live = alive & ~rec.hit
@@ -104,6 +113,7 @@ def render_pixels(
     seed,
     exact: bool = False,
     spp_offset=0,
+    bvh=None,
 ) -> jax.Array:
     """Mean radiance over `spp` jittered samples for the given flat pixel ids.
 
@@ -118,7 +128,8 @@ def render_pixels(
     def round_body(acc, s):
         o, d = generate_rays(camera, pixel_id, s, seed)
         c = trace(
-            scene, o, d, pixel_id, s, seed, max_bounces, background, exact=exact
+            scene, o, d, pixel_id, s, seed, max_bounces, background,
+            exact=exact, bvh=bvh,
         )
         return acc + c, None
 
@@ -142,6 +153,7 @@ def render_image(
     background,
     seed=0,
     exact: bool = False,
+    bvh=None,
 ) -> jax.Array:
     """Render the full image. Returns (height, width, 3) linear radiance."""
     w, h = camera.width, camera.height
@@ -155,5 +167,6 @@ def render_image(
         background=background,
         seed=seed,
         exact=exact,
+        bvh=bvh,
     )
     return img.reshape(h, w, 3)

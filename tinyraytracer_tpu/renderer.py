@@ -38,6 +38,7 @@ class Renderer:
         seed: int = 0,
         devices: Optional[Sequence[jax.Device]] = None,
         spp_per_round: int = 0,
+        accelerator: str = "auto",
     ):
         self.samples_per_pixel = int(samples_per_pixel)
         self.max_bounces = int(max_bounces)
@@ -50,11 +51,36 @@ class Renderer:
         self.devices = devices
         # Progress granularity: samples per jit call when progressbar is on.
         self.spp_per_round = int(spp_per_round) if spp_per_round else 0
+        # "bvh" | "none" | "auto": auto builds the BVH once the dense
+        # all-primitives test stops being the faster choice (small scenes
+        # are pure matmuls on the MXU; big scenes win with traversal).
+        if accelerator not in ("auto", "bvh", "none"):
+            raise ValueError(f"unknown accelerator {accelerator!r}")
+        self.accelerator = accelerator
+
+    # Valid-primitive count above which "auto" switches to the BVH.
+    _BVH_AUTO_THRESHOLD = 192
+
+    def _maybe_bvh(self, scene: SceneArrays):
+        if self.accelerator == "none":
+            return None
+        if self.accelerator == "auto":
+            import numpy as _np
+
+            n_valid = int(_np.asarray(scene.sph_valid).sum()) + int(
+                _np.asarray(scene.quad_valid).sum()
+            )
+            if n_valid <= self._BVH_AUTO_THRESHOLD:
+                return None
+        from tinyraytracer_tpu.ops.bvh import build_bvh
+
+        return build_bvh(scene)
 
     # -- core --------------------------------------------------------------
 
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
         """Linear-radiance (H, W, 3) framebuffer on device."""
+        bvh = self._maybe_bvh(scene)
         if self.devices is not None and len(self.devices) > 1:
             from tinyraytracer_tpu.parallel.sharded import render_image_sharded
 
@@ -66,6 +92,7 @@ class Renderer:
                 background=self.background_color,
                 seed=self.seed,
                 devices=self.devices,
+                bvh=bvh,
             )
         return trace_ops.render_image(
             scene,
@@ -74,6 +101,7 @@ class Renderer:
             max_bounces=self.max_bounces,
             background=jnp.asarray(self.background_color, jnp.float32),
             seed=self.seed,
+            bvh=bvh,
         )
 
     def render(self, camera: Camera, world: World) -> Image:
