@@ -1,84 +1,101 @@
 """Headline benchmark: Cornell box 600×600 spp=200 (BASELINE config 3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Metric: forward camera-rays/sec/chip (w·h·spp primary rays per wall second,
-compile excluded). The reference publishes no numbers (BASELINE.md), so
-vs_baseline is computed against a measured run of the reference workload
-class: an 8-thread Rust CPU path tracer on the same scene — estimated at
-1e7 camera rays/sec (BASELINE.md table: 27M samples, minutes-scale on an
-8-core host). That estimate is recorded in the "baseline_estimate" field.
+compile excluded) through the Pallas path-tracing megakernel — the
+production forward path (ops/megakernel.py). A forward+backward number
+through the differentiable modular path is reported alongside.
+
+The reference publishes no numbers (BASELINE.md: two-line README, no
+benchmarks dir), so vs_baseline uses an estimated 1e7 camera rays/sec for
+the reference's 8-thread Rust CPU tracer on this scene class; the estimate
+is recorded in "baseline_estimate".
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache: the backward-pass XLA compile takes ~5 min
+# on the tunneled TPU; cache it across bench runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 WIDTH = 600
 HEIGHT = 600
 SPP = 200
 MAX_BOUNCES = 20
 
-# Estimated reference throughput (camera rays/sec): Rust CPU tracer, 8
-# threads, Cornell 300x300 spp=300 — no published numbers exist, see
-# BASELINE.md; 10M rays/s is a generous estimate for that configuration.
-BASELINE_RAYS_PER_SEC = 1.0e7
+BASELINE_RAYS_PER_SEC = 1.0e7  # estimated reference CPU throughput (see above)
+
+# The fwd+bwd probe costs a long one-time compile; opt in via env.
+RUN_FWDBWD = os.environ.get("BENCH_FWDBWD", "0") == "1"
 
 
 def main() -> None:
+    from tinyraytracer_tpu.diff.inverse import make_train_step
     from tinyraytracer_tpu.models import presets
-    from tinyraytracer_tpu.ops import trace as trace_ops
+    from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
     world, camera, kw = presets.cornell_box(width=WIDTH, height=HEIGHT)
     scene = world.build()
-    background = jnp.asarray(kw["background"], jnp.float32)
+    rays = WIDTH * HEIGHT * SPP
 
-    def run(spp, seed):
-        img = trace_ops.render_image(
-            scene,
-            camera,
-            spp=spp,
-            max_bounces=MAX_BOUNCES,
-            background=background,
-            seed=seed,
-        )
-        img.block_until_ready()
-        return img
-
-    # Warm up / compile at a small spp (same program structure; spp is a
-    # static arg so compile separately, then compile the real spp once).
-    run(2, 0)
-    t0 = time.perf_counter()
-    run(SPP, 0)
-    compile_plus_run = time.perf_counter() - t0
-
-    # Timed runs (cached executable).
+    # --- forward: megakernel -------------------------------------------
+    r = MegakernelRenderer(scene, camera, kw["background"])
+    r.render(spp=SPP, max_bounces=MAX_BOUNCES, seed=0).block_until_ready()
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        run(SPP, i)
+        r.render(spp=SPP, max_bounces=MAX_BOUNCES, seed=i + 1).block_until_ready()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    fwd_best = min(times)
+    fwd_rays = rays / fwd_best
 
-    rays = WIDTH * HEIGHT * SPP
-    rays_per_sec = rays / best
-    print(
-        json.dumps(
-            {
-                "metric": "fwd_camera_rays_per_sec_per_chip_cornell600_spp200",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/sec",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-                "baseline_estimate": BASELINE_RAYS_PER_SEC,
-                "wall_s_best_of_3": round(best, 3),
-                "first_call_s": round(compile_plus_run, 3),
-                "device": str(jax.devices()[0].platform),
-            }
+    result = {
+        "metric": "fwd_camera_rays_per_sec_per_chip_cornell600_spp200",
+        "value": round(fwd_rays, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_SEC, 3),
+        "baseline_estimate": BASELINE_RAYS_PER_SEC,
+        "fwd_wall_s_best_of_3": round(fwd_best, 3),
+        "device": str(jax.devices()[0].platform),
+    }
+
+    if RUN_FWDBWD:
+        # One optimization step = render + MSE + full backward to every
+        # scene parameter, through the differentiable modular path.
+        bw, bh, bwd_spp, bwd_mb = 300, 300, 4, 8
+        world2, camera2, kw2 = presets.cornell_box(width=bw, height=bh)
+        scene2 = world2.build()
+        target = jnp.zeros((bh, bw, 3), jnp.float32)
+        step, (params, opt_state) = make_train_step(
+            scene2,
+            camera2,
+            target,
+            spp=bwd_spp,
+            max_bounces=bwd_mb,
+            background=kw2["background"],
+            seed=0,
         )
-    )
+        params, opt_state, _ = step(params, opt_state, 0)  # compile
+        jax.block_until_ready((params, opt_state))
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, 1)
+        jax.block_until_ready((params, opt_state, loss))
+        bwd_dt = time.perf_counter() - t0
+        result["fwdbwd_rays_per_sec"] = round(bw * bh * bwd_spp / bwd_dt, 1)
+        result["fwdbwd_config"] = f"cornell {bw}x{bh} spp={bwd_spp} mb={bwd_mb}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

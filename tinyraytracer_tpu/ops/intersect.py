@@ -29,6 +29,15 @@ import jax.numpy as jnp
 
 from tinyraytracer_tpu.models.world import SceneArrays
 
+# TPU MXU default matmul precision is bf16-class; the screening matmuls
+# feed winner selection where ulp-level ties (coplanar surfaces) matter,
+# so force full f32.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 # t for "no hit". Large-but-finite so downstream arithmetic never makes NaNs.
 MISS_T = jnp.float32(3.0e38)
 T_MIN = jnp.float32(1.0e-3)  # sampler/cpu.rs:48
@@ -66,11 +75,11 @@ def sphere_ts(scene: SceneArrays, o, d, t_min, t_max, exact: bool = False):
     r = scene.sph_radius
     if exact:
         oc = o[:, None, :] - c[None, :, :]          # (R,Ns,3)
-        half_b = jnp.einsum("rns,rs->rn", oc, d)
+        half_b = jnp.einsum("rns,rs->rn", oc, d, precision=_HI)
         c_term = jnp.sum(oc * oc, axis=-1) - r[None, :] ** 2
     else:
-        d_dot_c = d @ c.T                            # (R,Ns) — MXU
-        o_dot_c = o @ c.T                            # (R,Ns) — MXU
+        d_dot_c = _mm(d, c.T)                        # (R,Ns) — MXU
+        o_dot_c = _mm(o, c.T)                        # (R,Ns) — MXU
         half_b = _dot(d, o)[:, None] - d_dot_c
         c_term = (
             _dot(o, o)[:, None] - 2.0 * o_dot_c + jnp.sum(c * c, axis=-1)[None, :]
@@ -110,21 +119,21 @@ def quad_ts(scene: SceneArrays, o, d, t_min, t_max):
     # beta = (u x p) . (n/nn) = p . (n x u) / nn
     b_vec = jnp.cross(n, u) * inv_nn[:, None]   # (Nq,3)
 
-    denom = d @ n.T                            # (R,Nq) — MXU
+    denom = _mm(d, n.T)                        # (R,Nq) — MXU
     # Grazing rays (denom -> 0) give t -> inf; forward masking handles the
     # value, but d(t)/d(denom) = -num/denom^2 must stay finite or the
     # backward pass NaNs through the mask (0 * inf).
     denom_safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-    t = (d_plane[None, :] - o @ n.T) / denom_safe  # (R,Nq)
+    t = (d_plane[None, :] - _mm(o, n.T)) / denom_safe  # (R,Nq)
     in_range = (t >= t_min) & (t < t_max) & (jnp.abs(denom) >= 1e-12)
 
     # p = o + t*d - corner; alpha = p.a_vec, beta = p.b_vec — all matmuls.
-    o_a = o @ a_vec.T
-    d_a = d @ a_vec.T
+    o_a = _mm(o, a_vec.T)
+    d_a = _mm(d, a_vec.T)
     c_a = _dot(corner, a_vec)
     alpha = o_a + t * d_a - c_a[None, :]
-    o_b = o @ b_vec.T
-    d_b = d @ b_vec.T
+    o_b = _mm(o, b_vec.T)
+    d_b = _mm(d, b_vec.T)
     c_b = _dot(corner, b_vec)
     beta = o_b + t * d_b - c_b[None, :]
 

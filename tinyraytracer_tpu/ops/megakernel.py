@@ -1,0 +1,540 @@
+"""The full path-tracing megakernel: a whole sampler in VMEM.
+
+This is the TPU-native realization of what the reference's Metal backend was
+*going* to be (sampler/metal/shader/kernel.metal:35-91 only ever traced one
+segment and wrote a debug color): the complete pipeline — jittered camera
+ray generation (pointgen.rs:38-51 + camera.rs:58-66), counter RNG, closest
+hit over all primitives, material scatter (material/*), emission/background
+accumulation (sampler/cpu.rs:47-62) and the sample mean (imager.rs:46-51) —
+fused into ONE Pallas kernel launch per image.
+
+Why: the modular XLA path spends ~15 ms/bounce at R=360k on HBM round trips
+and dispatch overhead (measured; the fused closest-hit kernel itself is
+4 ms). Here a tile of TR rays lives in VMEM for its *entire life*: every
+bounce of every sample. HBM traffic is one (TR,) pixel-id read and one
+(3, TR) color write per tile — per image. The bounce and sample loops are
+`fori_loop`s inside the kernel; per-ray state (o, d, throughput, color,
+alive) are VMEM values carried through the loops.
+
+Numerics match the modular path op for op (same pcg4d streams, same
+intersection formulas as ops/intersect_pallas.py, same scatter math as
+ops/scatter.py), so images agree with the modular renderer up to float
+reassociation; all reference semantics (near-then-far roots, half-open quad
+bounds, budget-exhaustion-adds-no-background) are preserved.
+
+The megakernel is the production *forward* renderer. Gradients use the
+modular path (ops/trace.py), whose selection+recompute structure autodiffs;
+both consume the same CompactScene.
+
+Winner payload (centers, normals, material rows) is extracted with a
+one-hot reduction over the primitive axis — on the VPU for small scenes;
+scenes big enough to want the MXU one-hot matmul should also be using the
+two-level culling path (future work, SURVEY.md §7 phase 7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinyraytracer_tpu.models.camera import Camera
+from tinyraytracer_tpu.models.world import SceneArrays
+from tinyraytracer_tpu.ops.intersect_pallas import CompactScene, compact_scene
+from tinyraytracer_tpu.models import materials as mat
+
+TILE_RAYS = 512
+
+_T_MIN = 1.0e-3      # sampler/cpu.rs:48
+_MISS = 3.0e38
+_TWO_PI = 6.283185307179586
+_INV_2_24 = float(1.0 / (1 << 24))
+
+
+# --- in-kernel counter RNG: identical streams to ops/rng.py ----------------
+
+def _pcg4d(a, b, c, d):
+    mul = jnp.uint32(1664525)
+    add = jnp.uint32(1013904223)
+    x = a * mul + add
+    y = b * mul + add
+    z = c * mul + add
+    w = d * mul + add
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+def _uniform(bits):
+    # Top 24 bits; route u32 -> i32 -> f32 (Mosaic has no direct u32->f32
+    # cast; the value fits in 24 bits so the i32 hop is exact).
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _INV_2_24
+
+
+def _uniform4(pid, sample, stream, seed):
+    x, y, z, w = _pcg4d(pid, sample, stream, seed)
+    return _uniform(x), _uniform(y), _uniform(z), _uniform(w)
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-30))
+    return x * inv, y * inv, z * inv
+
+
+def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
+    """Kernel body specialized on static (spp, max_bounces, Ns, Nq)."""
+
+    def kernel(
+        # scalar-prefetch / SMEM
+        cam_ref,        # (1, 32) f32: camera frame + background + inv sizes
+        ctl_ref,        # (1, 4)  i32: [seed, spp_offset, 0, 0] (as u32 bits)
+        # VMEM per-tile
+        pid_ref,        # (1, TR) u32 flat pixel ids
+        px_ref,         # (1, TR) f32 pixel x
+        py_ref,         # (1, TR) f32 pixel y
+        # VMEM scene (resident across grid)
+        sph_c_ref, sph_r2_ref,
+        quad_n_ref, quad_dp_ref, quad_av_ref, quad_ca_ref,
+        quad_bv_ref, quad_cb_ref,
+        pay_ref,        # (N, 16) f32 payload columns (see _payload_matrix)
+        # output
+        out_ref,        # (3, TR) f32 mean radiance
+    ):
+        tr = pid_ref.shape[1]
+        pid = pid_ref[0:1, :]
+        px = px_ref[0:1, :]
+        py = py_ref[0:1, :]
+
+        def cam(i):
+            return cam_ref[0, i]
+
+        pos_x, pos_y, pos_z = cam(0), cam(1), cam(2)
+        ul_x, ul_y, ul_z = cam(3), cam(4), cam(5)
+        hx, hy, hz = cam(6), cam(7), cam(8)
+        vx, vy, vz = cam(9), cam(10), cam(11)
+        dux, duy, duz = cam(12), cam(13), cam(14)
+        dvx, dvy, dvz = cam(15), cam(16), cam(17)
+        inv_w1, inv_h1 = cam(18), cam(19)
+        bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
+        seed = ctl_ref[0, 0].astype(jnp.uint32)
+        spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
+
+        # scene columns
+        cx = sph_c_ref[:, 0:1]
+        cy = sph_c_ref[:, 1:2]
+        cz = sph_c_ref[:, 2:3]
+        r2 = sph_r2_ref[:, 0:1]
+        qnx = quad_n_ref[:, 0:1]
+        qny = quad_n_ref[:, 1:2]
+        qnz = quad_n_ref[:, 2:3]
+        qdp = quad_dp_ref[:, 0:1]
+        avx = quad_av_ref[:, 0:1]
+        avy = quad_av_ref[:, 1:2]
+        avz = quad_av_ref[:, 2:3]
+        qca = quad_ca_ref[:, 0:1]
+        bvx = quad_bv_ref[:, 0:1]
+        bvy = quad_bv_ref[:, 1:2]
+        bvz = quad_bv_ref[:, 2:3]
+        qcb = quad_cb_ref[:, 0:1]
+        n_all = ns + nq
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_all, tr), 0)
+
+        def closest_hit(ox, oy, oz, dx, dy, dz):
+            """(1,TR)x6 -> best_t (1,TR), onehot (N,TR), hit (1,TR)."""
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c_term = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = half_b * half_b - c_term
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -half_b - sq
+            t1 = -half_b + sq
+            ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
+                           jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+            ts = jnp.where(disc >= 0.0, ts, _MISS)
+
+            den = qnx * dx + qny * dy + qnz * dz
+            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+            tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
+            al = (avx * ox + avy * oy + avz * oz) + tq * (
+                avx * dx + avy * dy + avz * dz) - qca
+            be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
+                bvx * dx + bvy * dy + bvz * dz) - qcb
+            ok = ((tq >= _T_MIN) & (tq < _MISS)
+                  & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
+            tq = jnp.where(ok, tq, _MISS)
+
+            t_all = jnp.concatenate([ts, tq], axis=0)      # (N, TR)
+            best_t = jnp.min(t_all, axis=0, keepdims=True)
+            first = jnp.min(
+                jnp.where(t_all == best_t, row_ids, n_all), axis=0, keepdims=True
+            )
+            onehot = (row_ids == first).astype(jnp.float32)  # (N, TR)
+            hit = best_t < _MISS
+            return best_t, onehot, hit
+
+        def pay_row(onehot, k):
+            # winner payload channel k: one-hot column reduce -> (1, TR)
+            return jnp.sum(pay_ref[:, k : k + 1] * onehot, axis=0, keepdims=True)
+
+        def sample_body(s, acc):
+            sample_id = spp_offset + s.astype(jnp.uint32)
+            r1, r2_, r3, r4 = _uniform4(pid, sample_id, jnp.uint32(0), seed)
+            # pointgen.rs:41-42 (w-1)/(h-1) normalization
+            u = (px + r1) * inv_w1
+            v = (py + r2_) * inv_h1
+            # defocus disk, polar form (math/vec3extend.rs:45-53)
+            rad = jnp.sqrt(r3)
+            th = _TWO_PI * r4
+            ox = pos_x + rad * jnp.cos(th) * dux + rad * jnp.sin(th) * dvx
+            oy = pos_y + rad * jnp.cos(th) * duy + rad * jnp.sin(th) * dvy
+            oz = pos_z + rad * jnp.cos(th) * duz + rad * jnp.sin(th) * dvz
+            tx = ul_x + u * hx - v * vx - ox
+            ty = ul_y + u * hy - v * vy - oy
+            tz = ul_z + u * hz - v * vz - oz
+            dx, dy, dz = _normalize3(tx, ty, tz)   # ray.rs:13
+
+            tput_r = jnp.ones((1, tr), jnp.float32)
+            tput_g = jnp.ones((1, tr), jnp.float32)
+            tput_b = jnp.ones((1, tr), jnp.float32)
+            col_r = jnp.zeros((1, tr), jnp.float32)
+            col_g = jnp.zeros((1, tr), jnp.float32)
+            col_b = jnp.zeros((1, tr), jnp.float32)
+            alive_f = jnp.ones((1, tr), jnp.float32)  # bool carries crash Mosaic
+
+            def bounce_body(b, st):
+                (ox, oy, oz, dx, dy, dz,
+                 tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f) = st
+                best_t, onehot, hit = closest_hit(ox, oy, oz, dx, dy, dz)
+                alive = alive_f > 0.5
+                hit_live = alive & hit
+                miss_live = alive & ~hit
+
+                # payload channels (see _payload_matrix ordering)
+                w_isq = pay_row(onehot, 0)
+                w_cx = pay_row(onehot, 1)
+                w_cy = pay_row(onehot, 2)
+                w_cz = pay_row(onehot, 3)
+                w_nx = pay_row(onehot, 4)
+                w_ny = pay_row(onehot, 5)
+                w_nz = pay_row(onehot, 6)
+                w_kind = pay_row(onehot, 7)
+                w_ar = pay_row(onehot, 8)
+                w_ag = pay_row(onehot, 9)
+                w_ab = pay_row(onehot, 10)
+                w_fuzz = pay_row(onehot, 11)
+                w_ior = pay_row(onehot, 12)
+                w_er = pay_row(onehot, 13)
+                w_eg = pay_row(onehot, 14)
+                w_eb = pay_row(onehot, 15)
+
+                t = jnp.where(hit, best_t, 1.0)
+                p_x = ox + t * dx
+                p_y = oy + t * dy
+                p_z = oz + t * dz
+                # outward normal: quad -> unit plane normal, sphere -> p - c
+                onx = jnp.where(w_isq > 0.5, w_nx, p_x - w_cx)
+                ony = jnp.where(w_isq > 0.5, w_ny, p_y - w_cy)
+                onz = jnp.where(w_isq > 0.5, w_nz, p_z - w_cz)
+                onx, ony, onz = _normalize3(onx, ony, onz)
+                # hittable/mod.rs:34-40 face flip
+                front = (dx * onx + dy * ony + dz * onz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                nx_ = onx * sgn
+                ny_ = ony * sgn
+                nz_ = onz * sgn
+
+                # cpu.rs:58-60 miss -> background; cpu.rs:49-50 emission
+                mlf = miss_live.astype(jnp.float32)
+                hlf = hit_live.astype(jnp.float32)
+                col_r = col_r + mlf * tput_r * bg_r + hlf * tput_r * w_er
+                col_g = col_g + mlf * tput_g * bg_g + hlf * tput_g * w_eg
+                col_b = col_b + mlf * tput_b * bg_b + hlf * tput_b * w_eb
+
+                # scatter randomness: stream 1 + bounce (ops/scatter.py)
+                u1, u2, u3, u4 = _uniform4(
+                    pid, sample_id, jnp.uint32(1) + b.astype(jnp.uint32), seed
+                )
+                # uniform in unit ball, inverse CDF (vec3extend.rs:15-30)
+                theta = _TWO_PI * u1
+                cphi = 1.0 - 2.0 * u2
+                sphi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cphi * cphi))
+                # ops/rng.py cbrt: exp(log/3) (Mosaic has no cbrt primitive)
+                rr = jnp.exp(jnp.log(jnp.maximum(u3, 1e-30)) * (1.0 / 3.0))
+                bx = rr * sphi * jnp.cos(theta)
+                by = rr * sphi * jnp.sin(theta)
+                bz = rr * cphi
+                bnorm = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
+                ux_ = bx * bnorm
+                uy_ = by * bnorm
+                uz_ = bz * bnorm
+
+                # Lambertian (lambertian.rs:16-22)
+                lx = nx_ + ux_
+                ly = ny_ + uy_
+                lz = nz_ + uz_
+                degen = (jnp.abs(lx) < 1e-7) & (jnp.abs(ly) < 1e-7) & (jnp.abs(lz) < 1e-7)
+                lx = jnp.where(degen, nx_, lx)
+                ly = jnp.where(degen, ny_, ly)
+                lz = jnp.where(degen, nz_, lz)
+
+                # Metal (metal.rs:18-25)
+                ddn = dx * nx_ + dy * ny_ + dz * nz_
+                rx = dx - 2.0 * ddn * nx_
+                ry = dy - 2.0 * ddn * ny_
+                rz = dz - 2.0 * ddn * nz_
+                mx = rx + w_fuzz * bx
+                my = ry + w_fuzz * by
+                mz = rz + w_fuzz * bz
+
+                # Dielectric (dielectric.rs:26-46)
+                eta = jnp.where(front, 1.0 / w_ior, w_ior)
+                cos = jnp.minimum(-(nx_ * dx + ny_ * dy + nz_ * dz), 1.0)
+                sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos * cos))
+                tir = eta * sin > 1.0
+                sr0 = (1.0 - eta) / (1.0 + eta)
+                r0 = sr0 * sr0
+                refl = r0 + (1.0 - r0) * (1.0 - cos) ** 5
+                choose_reflect = tir | (refl > u4)
+                # refract (vec3extend.rs:79-84)
+                px_ = eta * (dx + nx_ * cos)
+                py2 = eta * (dy + ny_ * cos)
+                pz_ = eta * (dz + nz_ * cos)
+                plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
+                par = -jnp.sqrt(jnp.abs(1.0 - plen2))
+                fx = px_ + par * nx_
+                fy = py2 + par * ny_
+                fz = pz_ + par * nz_
+                gx = jnp.where(choose_reflect, rx, fx)
+                gy = jnp.where(choose_reflect, ry, fy)
+                gz = jnp.where(choose_reflect, rz, fz)
+
+                is_lam = w_kind < 0.5
+                is_met = (w_kind >= 0.5) & (w_kind < 1.5)
+                sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
+                sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
+                sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
+                sx, sy, sz = _normalize3(sx, sy, sz)
+
+                absorbed = w_kind >= 2.5          # LIGHT = 3
+                scat = hit_live & ~absorbed
+                sf = scat.astype(jnp.float32)
+                inv_sf = 1.0 - sf
+                tput_r = tput_r * (inv_sf + sf * w_ar)
+                tput_g = tput_g * (inv_sf + sf * w_ag)
+                tput_b = tput_b * (inv_sf + sf * w_ab)
+                ox = jnp.where(scat, p_x, ox)
+                oy = jnp.where(scat, p_y, oy)
+                oz = jnp.where(scat, p_z, oz)
+                dx = jnp.where(scat, sx, dx)
+                dy = jnp.where(scat, sy, dy)
+                dz = jnp.where(scat, sz, dz)
+                return (ox, oy, oz, dx, dy, dz,
+                        tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
+
+            # Note: an all-lanes-dead early exit (while_loop + max-reduce)
+            # was measured SLOWER than the plain fori_loop — a 512-ray tile
+            # almost always keeps one live ray to the budget, so the exit
+            # never fires and the per-bounce reduce + lost loop pipelining
+            # cost ~12%.
+            st = (ox, oy, oz, dx, dy, dz,
+                  tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f)
+            st = jax.lax.fori_loop(0, max_bounces, bounce_body, st)
+            col_r, col_g, col_b = st[9], st[10], st[11]
+            ar, ag, ab = acc
+            return (ar + col_r, ag + col_g, ab + col_b)
+
+        acc0 = (
+            jnp.zeros((1, tr), jnp.float32),
+            jnp.zeros((1, tr), jnp.float32),
+            jnp.zeros((1, tr), jnp.float32),
+        )
+        ar, ag, ab = jax.lax.fori_loop(0, spp, sample_body, acc0)
+        inv = 1.0 / float(spp)
+        out_ref[0:1, :] = ar * inv
+        out_ref[1:2, :] = ag * inv
+        out_ref[2:3, :] = ab * inv
+
+    return kernel
+
+
+def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
+    """(N, 16) winner-payload columns for the compacted scene.
+
+    Columns: [is_quad, cx, cy, cz, nhat_x, nhat_y, nhat_z, mat_kind,
+              albedo r/g/b, fuzz, ior, emit r/g/b].
+    """
+    ns, nq = cs.ns, cs.nq
+    n = ns + nq
+    pay = np.zeros((16, n), np.float32)
+    idx = np.asarray(cs.index_map)
+    sph_n_total = np.asarray(scene.sph_center).shape[0]
+
+    sph_c = np.asarray(cs.sph_c)
+    pay[1, :ns] = sph_c[:, 0]
+    pay[2, :ns] = sph_c[:, 1]
+    pay[3, :ns] = sph_c[:, 2]
+
+    qn = np.asarray(cs.quad_n)
+    qlen = np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-30)
+    nhat = qn / qlen
+    pay[0, ns:] = 1.0
+    pay[4, ns:] = nhat[:, 0]
+    pay[5, ns:] = nhat[:, 1]
+    pay[6, ns:] = nhat[:, 2]
+
+    # material rows via the global prim -> mat id mapping
+    sph_mat = np.asarray(scene.sph_mat)
+    quad_mat = np.asarray(scene.quad_mat)
+    kinds = np.asarray(scene.mat_kind)
+    alb = np.asarray(scene.mat_albedo)
+    fuzz = np.asarray(scene.mat_fuzz)
+    ior = np.asarray(scene.mat_ior)
+    emit = np.asarray(scene.mat_emit)
+    for row in range(n):
+        g = idx[row]
+        # padded rows keep mat 0; they are unreachable (inert prims at 1e30)
+        if row < ns:
+            if row >= len(np.nonzero(np.asarray(scene.sph_valid))[0]):
+                m = 0
+            else:
+                m = int(sph_mat[g])
+        else:
+            qrow = row - ns
+            if qrow >= len(np.nonzero(np.asarray(scene.quad_valid))[0]):
+                m = 0
+            else:
+                m = int(quad_mat[g - sph_n_total])
+        pay[7, row] = kinds[m]
+        pay[8:11, row] = alb[m]
+        pay[11, row] = fuzz[m]
+        pay[12, row] = ior[m]
+        pay[13:16, row] = emit[m]
+    return jnp.asarray(pay.T.copy())
+
+
+def _camera_vector(camera: Camera, background) -> jnp.ndarray:
+    cam = np.zeros((1, 32), np.float32)
+    cam[0, 0:3] = np.asarray(camera.position)
+    cam[0, 3:6] = np.asarray(camera.viewport_upper_left)
+    cam[0, 6:9] = np.asarray(camera.horizontal)
+    cam[0, 9:12] = np.asarray(camera.vertical)
+    cam[0, 12:15] = np.asarray(camera.defocus_disk_u)
+    cam[0, 15:18] = np.asarray(camera.defocus_disk_v)
+    cam[0, 18] = 1.0 / (camera.width - 1)
+    cam[0, 19] = 1.0 / (camera.height - 1)
+    cam[0, 20:23] = np.asarray(background, np.float32)
+    return jnp.asarray(cam)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "width", "height", "interpret"),
+)
+def _render_flat(
+    cs: CompactScene,
+    pay,
+    cam_vec,
+    ctl,
+    *,
+    spp: int,
+    max_bounces: int,
+    width: int,
+    height: int,
+    interpret: bool = False,
+):
+    npix = width * height
+    g = (npix + TILE_RAYS - 1) // TILE_RAYS
+    rp = g * TILE_RAYS
+    pid = jnp.minimum(jnp.arange(rp, dtype=jnp.uint32), jnp.uint32(npix - 1))
+    px = (pid % jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
+    py = (pid // jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
+    pid = pid.reshape(1, rp)
+
+    kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq)
+    tile = lambda i: (0, i)
+    color = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)],
+        out_specs=pl.BlockSpec((3, TILE_RAYS), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rp), jnp.float32),
+        interpret=interpret,
+    )(
+        cam_vec,
+        ctl,
+        pid, px, py,
+        cs.sph_c, cs.sph_r2,
+        cs.quad_n, cs.quad_dp, cs.quad_av, cs.quad_ca,
+        cs.quad_bv, cs.quad_cb,
+        pay,
+    )
+    return color[:, :npix].T.reshape(height, width, 3)
+
+
+class MegakernelRenderer:
+    """Scene-bound fast forward renderer (one kernel launch per image)."""
+
+    def __init__(self, scene: SceneArrays, camera: Camera, background,
+                 interpret: bool = False):
+        self.scene = scene
+        self.camera = camera
+        self.cs = compact_scene(scene)
+        self.pay = _payload_matrix(scene, self.cs)
+        self.cam_vec = _camera_vector(camera, background)
+        self.interpret = interpret
+
+    def render(self, *, spp: int, max_bounces: int, seed: int = 0,
+               spp_offset: int = 0):
+        ctl = jnp.asarray(
+            [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
+            jnp.int32,
+        )
+        return _render_flat(
+            self.cs,
+            self.pay,
+            self.cam_vec,
+            ctl,
+            spp=spp,
+            max_bounces=max_bounces,
+            width=self.camera.width,
+            height=self.camera.height,
+            interpret=self.interpret,
+        )
+
+
+def render_image_megakernel(
+    scene: SceneArrays,
+    camera: Camera,
+    *,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed: int = 0,
+    interpret: bool = False,
+):
+    """One-shot megakernel render. Returns (H, W, 3) linear radiance."""
+    r = MegakernelRenderer(scene, camera, background, interpret=interpret)
+    return r.render(spp=spp, max_bounces=max_bounces, seed=seed)

@@ -67,6 +67,15 @@ def uniform4(seed, pixel_id, sample_id, stream):
     return _to_uniform(x), _to_uniform(y), _to_uniform(z), _to_uniform(w)
 
 
+def cbrt(x):
+    """x^(1/3) for x >= 0 via exp(log(x)/3).
+
+    Chosen over jnp.cbrt so the Pallas megakernel (where Mosaic has no cbrt
+    primitive) and the modular path draw bit-identical scatter directions.
+    """
+    return jnp.exp(jnp.log(jnp.maximum(x, 1e-30)) * (1.0 / 3.0))
+
+
 def uniform_in_unit_sphere(u1, u2, u3):
     """Uniform point in the unit ball via inverse CDF.
 
@@ -77,7 +86,7 @@ def uniform_in_unit_sphere(u1, u2, u3):
     theta = (2.0 * jnp.pi) * u1
     cos_phi = 1.0 - 2.0 * u2
     sin_phi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_phi * cos_phi))
-    r = jnp.cbrt(u3)
+    r = cbrt(u3)
     x = r * sin_phi * jnp.cos(theta)
     y = r * sin_phi * jnp.sin(theta)
     z = r * cos_phi

@@ -48,14 +48,20 @@ def trace(
     exact: bool = False,
     remat: bool = True,
     bvh=None,
+    compact=None,
+    interpret: bool = False,
 ):
     """Path-trace a ray wavefront. Returns (R, 3) linear radiance.
 
     origins/directions: (R,3) with unit directions; pixel_id: (R,) u32;
-    sample_id: scalar u32; background: (3,) f32. When `bvh` (a
-    ops.bvh.BVHArrays) is given, closest hits come from the threaded BVH
-    traversal instead of the dense all-primitives test — same hits, same
-    gradients (ops/bvh.py docstring), fewer intersections for big scenes.
+    sample_id: scalar u32; background: (3,) f32.
+
+    Intersector selection (all three produce identical hits and gradients):
+      - default: dense all-primitives test (XLA matmuls);
+      - `bvh` (ops.bvh.BVHArrays): threaded BVH traversal — fewer
+        intersections for big scenes;
+      - `compact` (ops.intersect_pallas.CompactScene): fused Pallas VMEM
+        kernel — the fast TPU path (`interpret=True` to run it on CPU).
     """
     r = origins.shape[0]
     init = (
@@ -68,7 +74,13 @@ def trace(
 
     def body(carry, bounce):
         o, d, throughput, color, alive = carry
-        if bvh is not None:
+        if compact is not None:
+            from tinyraytracer_tpu.ops.intersect_pallas import (
+                intersect_scene_compact,
+            )
+
+            rec = intersect_scene_compact(scene, compact, o, d, interpret=interpret)
+        elif bvh is not None:
             from tinyraytracer_tpu.ops.bvh import intersect_scene_bvh
 
             rec = intersect_scene_bvh(scene, bvh, o, d)
@@ -114,6 +126,8 @@ def render_pixels(
     exact: bool = False,
     spp_offset=0,
     bvh=None,
+    compact=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Mean radiance over `spp` jittered samples for the given flat pixel ids.
 
@@ -129,7 +143,7 @@ def render_pixels(
         o, d = generate_rays(camera, pixel_id, s, seed)
         c = trace(
             scene, o, d, pixel_id, s, seed, max_bounces, background,
-            exact=exact, bvh=bvh,
+            exact=exact, bvh=bvh, compact=compact, interpret=interpret,
         )
         return acc + c, None
 
@@ -142,7 +156,7 @@ def render_pixels(
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "exact"),
+    static_argnames=("spp", "max_bounces", "exact", "interpret"),
 )
 def render_image(
     scene: SceneArrays,
@@ -154,6 +168,8 @@ def render_image(
     seed=0,
     exact: bool = False,
     bvh=None,
+    compact=None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Render the full image. Returns (height, width, 3) linear radiance."""
     w, h = camera.width, camera.height
@@ -168,5 +184,7 @@ def render_image(
         seed=seed,
         exact=exact,
         bvh=bvh,
+        compact=compact,
+        interpret=interpret,
     )
     return img.reshape(h, w, 3)

@@ -51,10 +51,13 @@ class Renderer:
         self.devices = devices
         # Progress granularity: samples per jit call when progressbar is on.
         self.spp_per_round = int(spp_per_round) if spp_per_round else 0
-        # "bvh" | "none" | "auto": auto builds the BVH once the dense
-        # all-primitives test stops being the faster choice (small scenes
-        # are pure matmuls on the MXU; big scenes win with traversal).
-        if accelerator not in ("auto", "bvh", "none"):
+        # "auto" | "megakernel" | "bvh" | "none":
+        #   auto       -> megakernel on TPU (single device), else modular
+        #                 with a BVH above the primitive-count threshold;
+        #   megakernel -> force the fused Pallas forward renderer;
+        #   bvh        -> modular path with BVH traversal;
+        #   none       -> modular dense path (the oracle).
+        if accelerator not in ("auto", "megakernel", "bvh", "none"):
             raise ValueError(f"unknown accelerator {accelerator!r}")
         self.accelerator = accelerator
 
@@ -78,8 +81,28 @@ class Renderer:
 
     # -- core --------------------------------------------------------------
 
+    def _use_megakernel(self) -> bool:
+        if self.accelerator == "megakernel":
+            return True
+        if self.accelerator != "auto":
+            return False
+        if self.devices is not None and len(self.devices) > 1:
+            return False  # sharded path is modular for now
+        return jax.devices()[0].platform == "tpu"
+
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
         """Linear-radiance (H, W, 3) framebuffer on device."""
+        if self._use_megakernel():
+            from tinyraytracer_tpu.ops.megakernel import render_image_megakernel
+
+            return render_image_megakernel(
+                scene,
+                camera,
+                spp=self.samples_per_pixel,
+                max_bounces=self.max_bounces,
+                background=self.background_color,
+                seed=self.seed,
+            )
         bvh = self._maybe_bvh(scene)
         if self.devices is not None and len(self.devices) > 1:
             from tinyraytracer_tpu.parallel.sharded import render_image_sharded
