@@ -1,0 +1,124 @@
+"""Statistical golden-image comparison against the reference's renders.
+
+The reference ships renders as de-facto golden artifacts (SURVEY.md §4):
+  - output/output.png                  Cornell 300x300, spp=300, mb=20
+                                       (src/main.rs:6-21)
+  - raytracer/output/render_test.png   three-sphere scene 400x300, spp=3,
+                                       mb=10 (renderer/renderer.rs:125-150)
+  - raytracer/output/quad_test.png     five-quad scene 400x300, spp=10,
+                                       mb=10 (hittable/quad.rs:98-151)
+
+Its RNG is unseedable (utils/random.rs:15-18), so parity is distributional,
+not bitwise: we compare gamma-encoded u8 images on
+  - per-channel image means (MC error of the mean is tiny at 10^5 pixels),
+  - block means (image downsampled in BLOCK x BLOCK tiles — catches any
+    geometry/camera misalignment immediately),
+with tolerances scaled to the golden's own per-pixel MC noise at its spp.
+
+Run:  python scripts/golden_check.py [--spp-scale N] [--only NAME]
+Exit code 0 = all pass. Renders use the default Renderer (megakernel on
+TPU, modular elsewhere).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF = "/root/reference"
+
+# (name, golden path, preset, width, height, spp, mb, mean_tol, block_tol)
+#
+# Cornell tolerance note: the scene's light quad is exactly coplanar with
+# the ceiling quad (src/main.rs:42-59), so EVERY light-region hit is a
+# z-fight decided by f32 rounding ulps. Storing primitives in the
+# reference's BVH visit order (models/world.py) matches its tie semantics
+# and brings the mean gap from ~24 u8 down to ~3.6 u8; the residual is the
+# differing ulp statistics of the two implementations' t arithmetic (FMA
+# fusion on TPU vs separate rounding in Rust), which cannot close without
+# bit-level emulation. Tolerance is set just above that residual.
+CONFIGS = [
+    (
+        "cornell300",
+        f"{REF}/output/output.png",
+        "cornell_box", 300, 300, 300, 20,
+        5.0, 14.0,
+    ),
+    (
+        "render_test",
+        f"{REF}/raytracer/output/render_test.png",
+        "three_spheres", 400, 300, 3, 10,
+        4.0, 18.0,
+    ),
+    (
+        "quad_test",
+        f"{REF}/raytracer/output/quad_test.png",
+        "five_quads", 400, 300, 10, 10,
+        3.0, 12.0,
+    ),
+]
+
+BLOCK = 20
+
+
+def block_means(img: np.ndarray, block: int = BLOCK) -> np.ndarray:
+    h, w, c = img.shape
+    hb, wb = h // block, w // block
+    img = img[: hb * block, : wb * block].astype(np.float64)
+    return img.reshape(hb, block, wb, block, c).mean(axis=(1, 3))
+
+
+def compare(name, golden_path, preset, width, height, spp, mb,
+            mean_tol, block_tol, spp_scale=1) -> bool:
+    from PIL import Image as PILImage
+
+    from tinyraytracer_tpu.models import presets
+    from tinyraytracer_tpu.renderer import Renderer
+
+    golden = np.asarray(PILImage.open(golden_path)).astype(np.float64)
+    world, camera, kw = presets.PRESETS[preset](width=width, height=height)
+    r = Renderer(
+        samples_per_pixel=spp * spp_scale,
+        max_bounces=mb,
+        background_color=kw["background"],
+        seed=12345,
+    )
+    ours = r.render(camera, world).to_u8().astype(np.float64)
+    assert ours.shape == golden.shape, (ours.shape, golden.shape)
+
+    mean_diff = np.abs(ours.mean(axis=(0, 1)) - golden.mean(axis=(0, 1)))
+    bdiff = np.abs(block_means(ours) - block_means(golden))
+    # Allow the worst couple of blocks extra slack (specular/edge noise);
+    # judge the 99th percentile of block means.
+    b99 = np.percentile(bdiff, 99)
+    ok = (mean_diff.max() <= mean_tol) and (b99 <= block_tol)
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} {name}: mean diff {np.round(mean_diff, 2)} (tol {mean_tol}), "
+        f"block p99 {b99:.1f} max {bdiff.max():.1f} (tol {block_tol})"
+    )
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp-scale", type=int, default=1,
+                    help="multiply each config's spp (lower our MC noise)")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    ok = True
+    for cfg in CONFIGS:
+        if args.only and cfg[0] != args.only:
+            continue
+        ok &= compare(*cfg, spp_scale=args.spp_scale)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -109,6 +109,36 @@ def sphere_ground(width: int = 400, height: int = 225) -> Tuple[World, Camera, D
     return world, camera, kwargs
 
 
+def five_quads(width: int = 400, height: int = 300) -> Tuple[World, Camera, Dict]:
+    """The reference's quad golden-test scene (hittable/quad.rs:98-151):
+    five colored quads seen head-on, sky background."""
+    world = World()
+    world.add_material("red", Lambertian((1.0, 0.2, 0.2)))
+    world.add_material("green", Lambertian((0.2, 1.0, 0.2)))
+    world.add_material("blue", Lambertian((0.2, 0.2, 1.0)))
+    world.add_material("orange", Lambertian((1.0, 0.5, 0.0)))
+    world.add_material("teal", Lambertian((0.2, 0.8, 0.8)))
+
+    world.add_geometry(Quad((-3.0, -2.0, 5.0), (0.0, 0.0, -4.0), (0.0, 4.0, 0.0), "red"))
+    world.add_geometry(Quad((-2.0, -2.0, 0.0), (4.0, 0.0, 0.0), (0.0, 4.0, 0.0), "green"))
+    world.add_geometry(Quad((3.0, -2.0, 1.0), (0.0, 0.0, 4.0), (0.0, 4.0, 0.0), "blue"))
+    world.add_geometry(Quad((-2.0, 3.0, 1.0), (4.0, 0.0, 0.0), (0.0, 0.0, 4.0), "orange"))
+    world.add_geometry(Quad((-2.0, -3.0, 5.0), (4.0, 0.0, 0.0), (0.0, 0.0, -4.0), "teal"))
+
+    camera = Camera.new(
+        focus_distance=1.0,
+        defocus_angle=0.0,
+        position=(0.0, 0.0, 9.0),
+        look_at=(0.0, 0.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        vertical_fov=80.0,
+        width=width,
+        height=height,
+    )
+    kwargs = dict(max_bounces=10, background=(0.7, 0.8, 1.0))
+    return world, camera, kwargs
+
+
 def random_spheres(
     width: int = 1200, height: int = 675, n: int = 500, seed: int = 7
 ) -> Tuple[World, Camera, Dict]:
@@ -168,6 +198,7 @@ def random_spheres(
 PRESETS = {
     "sphere_ground": sphere_ground,
     "three_spheres": three_spheres,
+    "five_quads": five_quads,
     "cornell_box": cornell_box,
     "random_spheres": random_spheres,
 }

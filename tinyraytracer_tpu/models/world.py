@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinyraytracer_tpu.models.geometry import Geometry, flatten_geometry
+from tinyraytracer_tpu.models.geometry import (
+    Geometry,
+    Group,
+    Quad,
+    Sphere,
+    flatten_geometry,
+)
 from tinyraytracer_tpu.models.materials import Material
 
 # Lane width of the TPU VPU: (rays, prims) buffers put the primitive axis on
@@ -69,6 +75,102 @@ class SceneArrays:
         return dataclasses.replace(self, **kw)
 
 
+# --- reference BVH visit order -------------------------------------------
+#
+# Winner ties between coplanar primitives (the Cornell light is embedded in
+# the ceiling plane, src/main.rs:42-59) are resolved by every intersector
+# here as "first minimum = lowest storage index". The reference resolves
+# them by its BVH traversal: left subtree first, right child needs a
+# *strictly* smaller t (bvh.rs:96-101 half-open range), composite
+# HittableList members in insertion order — i.e. first-visited-in-DFS wins.
+# Storing primitives in that DFS order makes the two tie rules identical,
+# which is what makes Cornell renders statistically match (the light would
+# otherwise win ~25% more z-fights here than in the reference, brightening
+# the whole image).
+
+_REF_PAD = np.float32(0.0001 / 2.0)  # aabb.rs:14-17
+
+
+def _ref_bbox(g) -> Tuple[np.ndarray, np.ndarray]:
+    if isinstance(g, Sphere):
+        c = np.asarray(g.center, np.float32)
+        r = np.float32(abs(g.radius))
+        return c - r - _REF_PAD, c + r + _REF_PAD  # sphere.rs:16-25
+    if isinstance(g, Quad):
+        c = np.asarray(g.corner, np.float32)
+        u = np.asarray(g.u, np.float32)
+        v = np.asarray(g.v, np.float32)
+        pts = np.stack([c, c + u + v, c + u, c + v])  # quad.rs:21-23
+        return pts.min(0) - _REF_PAD, pts.max(0) + _REF_PAD
+    if isinstance(g, Group):
+        mns, mxs = zip(*(_ref_bbox(m) for m in g.members))
+        return np.min(mns, axis=0), np.max(mxs, axis=0)
+    raise TypeError(type(g))
+
+
+def _ref_longest_axis(mn: np.ndarray, mx: np.ndarray) -> int:
+    s = mx - mn  # aabb.rs:63-78 (note the tie rule: equal extents -> z)
+    if s[0] > s[1]:
+        return 0 if s[0] > s[2] else 2
+    return 1 if s[1] > s[2] else 2
+
+
+def _reference_visit_order(geometries) -> Tuple[List[int], List[int]]:
+    """(sphere_perm, quad_perm): flat indices in reference BVH DFS order.
+
+    Emulates Node::new over the *top-level* geometry list (Groups are single
+    composite leaves, as the reference's boxed HittableList objects are) with
+    the exact split policy of bvh.rs:42-84: merged-bbox longest axis, stable
+    sort by bbox.min[axis], median split, two-member nodes unsorted.
+    """
+    s_count = [0]
+    q_count = [0]
+
+    def prims(g):
+        # Assign flat ids in the same DFS order flatten_geometry uses.
+        if isinstance(g, Sphere):
+            i = s_count[0]
+            s_count[0] += 1
+            return [("s", i)]
+        if isinstance(g, Quad):
+            i = q_count[0]
+            q_count[0] += 1
+            return [("q", i)]
+        out = []
+        for m in g.members:
+            out.extend(prims(m))
+        return out
+
+    objs = []
+    for g in geometries:
+        mn, mx = _ref_bbox(g)
+        objs.append((mn, mx, prims(g)))
+
+    order: List[Tuple[str, int]] = []
+
+    def visit(objs):
+        if len(objs) == 1:
+            order.extend(objs[0][2])
+            return
+        if len(objs) == 2:  # bvh.rs:58-67: no sort
+            visit(objs[:1])
+            visit(objs[1:])
+            return
+        mn = np.min([o[0] for o in objs], axis=0)
+        mx = np.max([o[1] for o in objs], axis=0)
+        axis = _ref_longest_axis(mn, mx)
+        objs = sorted(objs, key=lambda o: o[0][axis])  # stable, like sort_by
+        mid = len(objs) // 2
+        visit(objs[:mid])
+        visit(objs[mid:])
+
+    if objs:
+        visit(objs)
+    s_perm = [i for k, i in order if k == "s"]
+    q_perm = [i for k, i in order if k == "q"]
+    return s_perm, q_perm
+
+
 class World:
     """Scene container mirroring hittable/world.rs: geometry list + named
     material registry. `add_material` rejects duplicate names the way the
@@ -98,8 +200,11 @@ class World:
         return tuple(self._materials.keys())
 
     def build(self, prim_pad: int = _PRIM_PAD) -> SceneArrays:
-        """Lower to padded SoA device arrays."""
+        """Lower to padded SoA device arrays (in reference visit order)."""
         spheres, quads = flatten_geometry(self._geometries)
+        s_perm, q_perm = _reference_visit_order(self._geometries)
+        spheres = [spheres[i] for i in s_perm]
+        quads = [quads[i] for i in q_perm]
         mat_index = {name: i for i, name in enumerate(self._materials)}
         mats = list(self._materials.values())
         if not mats:
