@@ -1,0 +1,168 @@
+"""Inverse rendering demo: recover Cornell sphere positions and albedos.
+
+BASELINE.md config 5: render a target image of the cornell_spheres scene,
+perturb scene parameters, then recover them by Adam on the photometric MSE
+— the whole step (render with next-event estimation, backward through the
+bounce loop, optimizer update, and on a mesh the gradient all-reduce) is
+one jitted XLA program. Checkpoints let a long fit resume (SURVEY.md §5:
+a capability the reference lacks entirely).
+
+What converges: material parameters (albedo, emission) recover reliably —
+they enter the estimator continuously. Sphere POSITIONS only receive
+interior (shading + soft-shadow surrogate) gradients; the dominant
+silhouette boundary term needs true edge sampling (see ops/trace.py
+docstring), so large position offsets do not pull back — centers are
+reported for transparency, not promised.
+
+Run (TPU ~minutes, CPU: lower --size/--spp/--steps):
+    python examples/inverse_render.py --steps 150 --out output/inverse
+    python examples/inverse_render.py --mesh 8 --sample-parallel 2  # sharded
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--target-spp", type=int, default=64)
+    ap.add_argument("--max-bounces", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=0.25)
+    ap.add_argument("--albedo-lr", type=float, default=0.02)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard over this many devices (0 = single)")
+    ap.add_argument("--sample-parallel", type=int, default=1)
+    ap.add_argument("--out", default="output/inverse")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--trainable", default="mat_albedo,sph_center",
+                    help="comma-separated param fields to optimize")
+    args = ap.parse_args()
+
+    import optax
+
+    from tinyraytracer_tpu.diff import inverse
+    from tinyraytracer_tpu.diff.params import apply_params, scene_params
+    from tinyraytracer_tpu.models import presets
+    from tinyraytracer_tpu.ops import trace as trace_ops
+    from tinyraytracer_tpu.utils.image import Image
+
+    world, camera, kw = presets.cornell_spheres(width=args.size, height=args.size)
+    scene = world.build()
+    bg = jnp.asarray(kw["background"], jnp.float32)
+
+    os.makedirs(args.out, exist_ok=True)
+
+    def save(img, name):
+        Image.from_linear(np.asarray(img)).save(os.path.join(args.out, name))
+
+    # Ground-truth target.
+    target = trace_ops.render_image(
+        scene, camera, spp=args.target_spp, max_bounces=args.max_bounces,
+        background=bg, seed=7,
+    )
+    save(target, "target.png")
+
+    # True parameter values to recover (sphere rows are stored in reference
+    # visit order; look them up by validity mask).
+    s_valid = np.asarray(scene.sph_valid)
+    true_centers = np.asarray(scene.sph_center)[s_valid]
+    print("true centers:\n", true_centers)
+
+    # Perturb: nudge spheres, strongly tint albedos.
+    pert = scene.replace(
+        sph_center=scene.sph_center
+        + jnp.where(
+            jnp.asarray(s_valid)[:, None],
+            jnp.asarray([[2.5, -1.5, 3.0]], jnp.float32),
+            0.0,
+        ),
+        mat_albedo=scene.mat_albedo.at[4].set(jnp.asarray([0.6, 0.2, 0.3]))
+        .at[5].set(jnp.asarray([0.3, 0.3, 0.7])),
+    )
+    save(
+        trace_ops.render_image(
+            pert, camera, spp=args.target_spp, max_bounces=args.max_bounces,
+            background=bg, seed=7,
+        ),
+        "initial.png",
+    )
+
+    mesh = None
+    if args.mesh:
+        from tinyraytracer_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.mesh],
+                         sample_parallel=args.sample_parallel)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    # Per-field learning rates: centers move tens of units, albedos are in
+    # [0, 1] — a single global lr cannot serve both.
+    optimizer = optax.multi_transform(
+        {
+            "geom": optax.adam(args.lr),
+            "mat": optax.adam(args.albedo_lr),
+        },
+        {k: ("geom" if k.startswith(("sph_", "quad_")) else "mat")
+         for k in scene_params(scene)},
+    )
+    step, (params, opt_state) = inverse.make_train_step(
+        pert,
+        camera,
+        target,
+        spp=args.spp,
+        max_bounces=args.max_bounces,
+        background=kw["background"],
+        seed=13,
+        optimizer=optimizer,
+        mesh=mesh,
+        trainable=tuple(args.trainable.split(",")),
+    )
+
+    start = 0
+    ckpt = args.checkpoint
+    if ckpt and os.path.exists(ckpt):
+        params, opt_state, start = inverse.load_checkpoint(ckpt, opt_state)
+        print(f"resumed from step {start}")
+
+    for i in range(start, args.steps):
+        params, opt_state, loss = step(params, opt_state, i)
+        # Physical projection: albedos live in [0, 1] (keeps the fit from
+        # wandering into energy-gaining materials).
+        params["mat_albedo"] = jnp.clip(params["mat_albedo"], 0.0, 1.0)
+        if i % 10 == 0 or i == args.steps - 1:
+            print(f"step {i:4d}  loss {float(loss):.6f}")
+        if ckpt and (i + 1) % 50 == 0:
+            inverse.save_checkpoint(ckpt, params, opt_state, i + 1)
+
+    fitted = apply_params(pert, params)
+    save(
+        trace_ops.render_image(
+            fitted, camera, spp=args.target_spp, max_bounces=args.max_bounces,
+            background=bg, seed=7,
+        ),
+        "fitted.png",
+    )
+    got_centers = np.asarray(fitted.sph_center)[s_valid]
+    print("recovered centers:\n", got_centers)
+    err = np.abs(got_centers - true_centers).max()
+    print(f"max center error: {err:.3f} (initial ~4.2; interior-only "
+          "gradients — see module docstring)")
+    alb = np.asarray(fitted.mat_albedo)[4:6]
+    print("recovered albedos (true 0.2,0.4,0.8 / 0.8,0.6,0.2):\n", alb)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

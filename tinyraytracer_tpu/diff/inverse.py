@@ -49,7 +49,7 @@ def image_mse(img, target):
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "exact"),
+    static_argnames=("spp", "max_bounces", "exact", "nee"),
 )
 def render_loss(
     params: Params,
@@ -63,8 +63,13 @@ def render_loss(
     seed,
     spp_offset=0,
     exact: bool = False,
+    nee: bool = True,
 ):
-    """Single-device MSE between a fresh render and the target image."""
+    """Single-device MSE between a fresh render and the target image.
+
+    NEE is on by default: without explicit light sampling the pathwise
+    gradient w.r.t. geometry is exactly zero a.e. (see ops.trace.trace).
+    """
     s = apply_params(scene, params)
     w, h = camera.width, camera.height
     pixel_id = jnp.arange(w * h, dtype=jnp.uint32)
@@ -78,6 +83,7 @@ def render_loss(
         seed=seed,
         exact=exact,
         spp_offset=spp_offset,
+        nee=nee,
     )
     return image_mse(img, target.reshape(-1, 3))
 
@@ -96,6 +102,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     advance_samples: bool = True,
     trainable: Optional[Tuple[str, ...]] = None,
+    nee: bool = True,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Build a jitted SGD step over the scene params (optionally sharded).
 
@@ -157,6 +164,7 @@ def make_train_step(
                     seed=base_seed,
                     spp_offset=step_idx * stride
                     + s_idx * jnp.uint32(spp_local),
+                    nee=nee,
                 )
                 img = jax.lax.pmean(img, sharded.SAMPLE_AXIS)
                 se = jnp.sum(wgt[:, None] * (img - tgt) ** 2)
@@ -193,6 +201,7 @@ def make_train_step(
                 background=background,
                 seed=base_seed,
                 spp_offset=step_idx * stride,
+                nee=nee,
             )
 
     trainset = None if trainable is None else frozenset(trainable)

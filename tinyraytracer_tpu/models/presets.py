@@ -109,6 +109,43 @@ def sphere_ground(width: int = 400, height: int = 225) -> Tuple[World, Camera, D
     return world, camera, kwargs
 
 
+def cornell_spheres(width: int = 300, height: int = 300) -> Tuple[World, Camera, Dict]:
+    """Cornell walls + light with two spheres instead of boxes — the
+    inverse-rendering scene (BASELINE config 5 recovers sphere positions
+    and albedos from a target image). The light is inset 0.01 below the
+    ceiling plane so the render is free of the z-fighting degeneracy of the
+    reference scene (important for clean gradients)."""
+    world = World()
+    world.add_material("red", Lambertian((0.65, 0.05, 0.05)))
+    world.add_material("white", Lambertian((0.73, 0.73, 0.73)))
+    world.add_material("green", Lambertian((0.12, 0.45, 0.15)))
+    world.add_material("light", Light((15.0, 15.0, 15.0)))
+    world.add_material("sphere_a", Lambertian((0.2, 0.4, 0.8)))
+    world.add_material("sphere_b", Lambertian((0.8, 0.6, 0.2)))
+
+    world.add_geometry(Quad((100.0, 0.0, 0.0), (0.0, 100.0, 0.0), (0.0, 0.0, 100.0), "green"))
+    world.add_geometry(Quad((0.0, 0.0, 0.0), (0.0, 100.0, 0.0), (0.0, 0.0, 100.0), "red"))
+    world.add_geometry(Quad((65.0, 99.99, 60.0), (-30.0, 0.0, 0.0), (0.0, 0.0, -20.0), "light"))
+    world.add_geometry(Quad((0.0, 0.0, 0.0), (100.0, 0.0, 0.0), (0.0, 0.0, 100.0), "white"))
+    world.add_geometry(Quad((100.0, 100.0, 100.0), (-100.0, 0.0, 0.0), (0.0, 0.0, -100.0), "white"))
+    world.add_geometry(Quad((0.0, 0.0, 100.0), (100.0, 0.0, 0.0), (0.0, 100.0, 0.0), "white"))
+    world.add_geometry(Sphere((35.0, 18.0, 60.0), 18.0, "sphere_a"))
+    world.add_geometry(Sphere((68.0, 14.0, 30.0), 14.0, "sphere_b"))
+
+    camera = Camera.new(
+        focus_distance=140.0,
+        defocus_angle=0.0,
+        position=(50.0, 50.0, -140.0),
+        look_at=(50.0, 50.0, 0.0),
+        up=(0.0, 1.0, 0.0),
+        vertical_fov=40.0,
+        width=width,
+        height=height,
+    )
+    kwargs = dict(max_bounces=20, background=(0.001, 0.001, 0.001))
+    return world, camera, kwargs
+
+
 def five_quads(width: int = 400, height: int = 300) -> Tuple[World, Camera, Dict]:
     """The reference's quad golden-test scene (hittable/quad.rs:98-151):
     five colored quads seen head-on, sky background."""
@@ -200,5 +237,6 @@ PRESETS = {
     "three_spheres": three_spheres,
     "five_quads": five_quads,
     "cornell_box": cornell_box,
+    "cornell_spheres": cornell_spheres,
     "random_spheres": random_spheres,
 }

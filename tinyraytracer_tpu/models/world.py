@@ -199,6 +199,21 @@ class World:
     def material_names(self) -> Sequence[str]:
         return tuple(self._materials.keys())
 
+    def get_geometries(self, kind: type) -> List[Geometry]:
+        """Typed extraction of flattened primitives, the downcast-based
+        World::get_geometries::<T> (world.rs:47-56)."""
+        spheres, quads = flatten_geometry(self._geometries)
+        if kind is Sphere:
+            return list(spheres)
+        if kind is Quad:
+            return list(quads)
+        raise TypeError(f"unknown geometry kind {kind!r}")
+
+    def get_materials(self, kind: int) -> Dict[str, Material]:
+        """Materials of one kind code (world.rs:58-65's get_materials::<T>,
+        keyed by materials.LAMBERTIAN/METAL/DIELECTRIC/LIGHT)."""
+        return {n: m for n, m in self._materials.items() if m.kind == kind}
+
     def build(self, prim_pad: int = _PRIM_PAD) -> SceneArrays:
         """Lower to padded SoA device arrays (in reference visit order)."""
         spheres, quads = flatten_geometry(self._geometries)

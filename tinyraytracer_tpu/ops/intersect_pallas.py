@@ -80,6 +80,10 @@ class CompactScene:
     quad_bv: jax.Array    # (Nq, 3)  (n x u) / (n.n)
     quad_cb: jax.Array    # (Nq, 1)  corner . bv
     index_map: jax.Array  # (Ns+Nq,) i32 compacted row -> global prim id
+    # Real (unpadded) counts — static so kernels compile out an absent
+    # primitive kind entirely (e.g. Cornell has zero spheres).
+    n_sph_real: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_quad_real: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def ns(self) -> int:
@@ -144,6 +148,8 @@ def compact_scene(scene: SceneArrays) -> CompactScene:
         quad_bv=jnp.asarray(bv.astype(np.float32)),
         quad_cb=jnp.asarray(cb.astype(np.float32)),
         index_map=jnp.asarray(index_map),
+        n_sph_real=len(s_idx),
+        n_quad_real=len(q_idx),
     )
 
 

@@ -95,8 +95,14 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
-def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
-    """Kernel body specialized on static (spp, max_bounces, Ns, Nq)."""
+def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
+                 has_sph: bool, has_quad: bool):
+    """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
+
+    `has_sph`/`has_quad` compile out an absent primitive kind entirely —
+    the Cornell box (quads only) skips all sphere arithmetic, random-sphere
+    scenes skip the quad block.
+    """
 
     def kernel(
         # scalar-prefetch / SMEM
@@ -110,7 +116,7 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
         sph_c_ref, sph_r2_ref,
         quad_n_ref, quad_dp_ref, quad_av_ref, quad_ca_ref,
         quad_bv_ref, quad_cb_ref,
-        pay_ref,        # (N, 16) f32 payload columns (see _payload_matrix)
+        pay_ref,        # (16, NA) f32 ACTIVE payload rows (see _payload_matrix)
         # output
         out_ref,        # (3, TR) f32 mean radiance
     ):
@@ -150,47 +156,47 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
         bvy = quad_bv_ref[:, 1:2]
         bvz = quad_bv_ref[:, 2:3]
         qcb = quad_cb_ref[:, 0:1]
-        n_all = ns + nq
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_all, tr), 0)
+        # Active rows: spheres then quads, absent kinds compiled out.
+        n_act = (ns if has_sph else 0) + (nq if has_quad else 0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_act, tr), 0)
 
         def closest_hit(ox, oy, oz, dx, dy, dz):
-            """(1,TR)x6 -> best_t (1,TR), onehot (N,TR), hit (1,TR)."""
-            ocx = ox - cx
-            ocy = oy - cy
-            ocz = oz - cz
-            half_b = ocx * dx + ocy * dy + ocz * dz
-            c_term = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = half_b * half_b - c_term
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = -half_b - sq
-            t1 = -half_b + sq
-            ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
-                           jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
-            ts = jnp.where(disc >= 0.0, ts, _MISS)
+            """(1,TR)x6 -> best_t (1,TR), onehot (NA,TR), hit (1,TR)."""
+            parts = []
+            if has_sph:
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c_term = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = half_b * half_b - c_term
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -half_b - sq
+                t1 = -half_b + sq
+                ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
+                               jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+                parts.append(jnp.where(disc >= 0.0, ts, _MISS))
 
-            den = qnx * dx + qny * dy + qnz * dz
-            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-            tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
-            al = (avx * ox + avy * oy + avz * oz) + tq * (
-                avx * dx + avy * dy + avz * dz) - qca
-            be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
-                bvx * dx + bvy * dy + bvz * dz) - qcb
-            ok = ((tq >= _T_MIN) & (tq < _MISS)
-                  & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
-            tq = jnp.where(ok, tq, _MISS)
+            if has_quad:
+                den = qnx * dx + qny * dy + qnz * dz
+                den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+                tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
+                al = (avx * ox + avy * oy + avz * oz) + tq * (
+                    avx * dx + avy * dy + avz * dz) - qca
+                be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
+                    bvx * dx + bvy * dy + bvz * dz) - qcb
+                ok = ((tq >= _T_MIN) & (tq < _MISS)
+                      & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
+                parts.append(jnp.where(ok, tq, _MISS))
 
-            t_all = jnp.concatenate([ts, tq], axis=0)      # (N, TR)
+            t_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             best_t = jnp.min(t_all, axis=0, keepdims=True)
             first = jnp.min(
-                jnp.where(t_all == best_t, row_ids, n_all), axis=0, keepdims=True
+                jnp.where(t_all == best_t, row_ids, n_act), axis=0, keepdims=True
             )
-            onehot = (row_ids == first).astype(jnp.float32)  # (N, TR)
+            onehot = (row_ids == first).astype(jnp.float32)  # (NA, TR)
             hit = best_t < _MISS
             return best_t, onehot, hit
-
-        def pay_row(onehot, k):
-            # winner payload channel k: one-hot column reduce -> (1, TR)
-            return jnp.sum(pay_ref[:, k : k + 1] * onehot, axis=0, keepdims=True)
 
         def sample_body(s, acc):
             sample_id = spp_offset + s.astype(jnp.uint32)
@@ -225,23 +231,32 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
                 hit_live = alive & hit
                 miss_live = alive & ~hit
 
-                # payload channels (see _payload_matrix ordering)
-                w_isq = pay_row(onehot, 0)
-                w_cx = pay_row(onehot, 1)
-                w_cy = pay_row(onehot, 2)
-                w_cz = pay_row(onehot, 3)
-                w_nx = pay_row(onehot, 4)
-                w_ny = pay_row(onehot, 5)
-                w_nz = pay_row(onehot, 6)
-                w_kind = pay_row(onehot, 7)
-                w_ar = pay_row(onehot, 8)
-                w_ag = pay_row(onehot, 9)
-                w_ab = pay_row(onehot, 10)
-                w_fuzz = pay_row(onehot, 11)
-                w_ior = pay_row(onehot, 12)
-                w_er = pay_row(onehot, 13)
-                w_eg = pay_row(onehot, 14)
-                w_eb = pay_row(onehot, 15)
+                # winner payload: one-hot column selection as a single
+                # (16, NA) @ (NA, TR) matmul — the MXU does the gather the
+                # VPU would otherwise pay 16 reduce passes for. HIGHEST
+                # precision keeps the selected f32 values exact to ~1 ulp.
+                payw = jax.lax.dot_general(
+                    pay_ref[:, :], onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                   # (16, TR)
+                w_isq = payw[0:1, :]
+                w_cx = payw[1:2, :]
+                w_cy = payw[2:3, :]
+                w_cz = payw[3:4, :]
+                w_nx = payw[4:5, :]
+                w_ny = payw[5:6, :]
+                w_nz = payw[6:7, :]
+                w_kind = payw[7:8, :]
+                w_ar = payw[8:9, :]
+                w_ag = payw[9:10, :]
+                w_ab = payw[10:11, :]
+                w_fuzz = payw[11:12, :]
+                w_ior = payw[12:13, :]
+                w_er = payw[13:14, :]
+                w_eg = payw[14:15, :]
+                w_eb = payw[15:16, :]
 
                 t = jnp.where(hit, best_t, 1.0)
                 p_x = ox + t * dx
@@ -374,10 +389,12 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int):
 
 
 def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
-    """(N, 16) winner-payload columns for the compacted scene.
+    """(16, N) winner-payload rows for the compacted scene.
 
-    Columns: [is_quad, cx, cy, cz, nhat_x, nhat_y, nhat_z, mat_kind,
-              albedo r/g/b, fuzz, ior, emit r/g/b].
+    Rows: [is_quad, cx, cy, cz, nhat_x, nhat_y, nhat_z, mat_kind,
+           albedo r/g/b, fuzz, ior, emit r/g/b]. Laid out pre-transposed so
+    the kernel's (16, NA) @ (NA, TR) one-hot selection matmul needs no
+    in-kernel transpose.
     """
     ns, nq = cs.ns, cs.nq
     n = ns + nq
@@ -425,7 +442,7 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
         pay[11, row] = fuzz[m]
         pay[12, row] = ior[m]
         pay[13:16, row] = emit[m]
-    return jnp.asarray(pay.T.copy())
+    return jnp.asarray(pay)
 
 
 def _camera_vector(camera: Camera, background) -> jnp.ndarray:
@@ -466,7 +483,14 @@ def _render_flat(
     py = (pid // jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
     pid = pid.reshape(1, rp)
 
-    kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq)
+    has_sph = cs.n_sph_real > 0
+    has_quad = cs.n_quad_real > 0
+    if not (has_sph or has_quad):
+        raise ValueError("scene has no primitives")
+    row_off = 0 if has_sph else cs.ns
+    n_act = (cs.ns if has_sph else 0) + (cs.nq if has_quad else 0)
+    pay = jax.lax.slice_in_dim(pay, row_off, row_off + n_act, axis=1)
+    kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad)
     tile = lambda i: (0, i)
     color = pl.pallas_call(
         kernel,

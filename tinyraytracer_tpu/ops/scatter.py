@@ -37,10 +37,15 @@ def reflect(d, n):
 def refract(d, n, eta):
     """Snell refraction with cos clamp (math/vec3extend.rs:79-84).
 
-    eta: (R, 1) ratio etai/etat; d, n unit (R, 3)."""
+    eta: (R, 1) ratio etai/etat; d, n unit (R, 3). The sqrt argument is
+    floored: at exact grazing incidence (|perp| -> 1) the derivative of
+    sqrt(|1-x|) is infinite, and since every ray evaluates every material
+    lobe before the select, that infinity would leak NaN into the backward
+    pass of unrelated parameters (0-cotangent * inf)."""
     cos = jnp.minimum(-_dot(n, d), 1.0)
     perp = eta * (d + n * cos)
-    parallel = -jnp.sqrt(jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True))) * n
+    k = jnp.abs(1.0 - jnp.sum(perp * perp, axis=-1, keepdims=True))
+    parallel = -jnp.sqrt(jnp.maximum(k, 1e-12)) * n
     return parallel + perp
 
 
