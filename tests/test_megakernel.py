@@ -32,6 +32,23 @@ def test_megakernel_matches_modular(name):
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
 
 
+def test_megakernel_sharded_matches_single():
+    """Megakernel under shard_map (tile and sample axes) reproduces the
+    single-device render (tile-only exactly; sample split within 1 ulp)."""
+    from tinyraytracer_tpu.parallel.sharded import make_mesh
+
+    world, camera, kw = presets.three_spheres(width=16, height=12)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"], interpret=True)
+    ref = r.render(spp=4, max_bounces=3, seed=5)
+    tile_only = r.render(spp=4, max_bounces=3, seed=5,
+                         mesh=make_mesh(sample_parallel=1))
+    np.testing.assert_array_equal(np.asarray(tile_only), np.asarray(ref))
+    split = r.render(spp=4, max_bounces=3, seed=5,
+                     mesh=make_mesh(sample_parallel=2))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref), atol=1e-6)
+
+
 def test_megakernel_spp_offset_partitions_samples():
     """Two offset halves must average to the full-spp render (the sample
     mean is a plain average over global sample ids)."""

@@ -459,40 +459,14 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
     return jnp.asarray(cam)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spp", "max_bounces", "width", "height", "interpret"),
-)
-def _render_flat(
-    cs: CompactScene,
-    pay,
-    cam_vec,
-    ctl,
-    *,
-    spp: int,
-    max_bounces: int,
-    width: int,
-    height: int,
-    interpret: bool = False,
-):
-    npix = width * height
-    g = (npix + TILE_RAYS - 1) // TILE_RAYS
-    rp = g * TILE_RAYS
-    pid = jnp.minimum(jnp.arange(rp, dtype=jnp.uint32), jnp.uint32(npix - 1))
-    px = (pid % jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
-    py = (pid // jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
-    pid = pid.reshape(1, rp)
-
-    has_sph = cs.n_sph_real > 0
-    has_quad = cs.n_quad_real > 0
-    if not (has_sph or has_quad):
-        raise ValueError("scene has no primitives")
-    row_off = 0 if has_sph else cs.ns
-    n_act = (cs.ns if has_sph else 0) + (cs.nq if has_quad else 0)
-    pay = jax.lax.slice_in_dim(pay, row_off, row_off + n_act, axis=1)
+def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
+                spp, max_bounces, has_sph, has_quad, interpret):
+    """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
+    rp = pid.shape[1]
+    g = rp // TILE_RAYS
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad)
     tile = lambda i: (0, i)
-    color = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -513,8 +487,107 @@ def _render_flat(
         cs.sph_c, cs.sph_r2,
         cs.quad_n, cs.quad_dp, cs.quad_av, cs.quad_ca,
         cs.quad_bv, cs.quad_cb,
-        pay,
+        pay_active,
     )
+
+
+def _active_payload(cs: CompactScene, pay):
+    has_sph = cs.n_sph_real > 0
+    has_quad = cs.n_quad_real > 0
+    if not (has_sph or has_quad):
+        raise ValueError("scene has no primitives")
+    row_off = 0 if has_sph else cs.ns
+    n_act = (cs.ns if has_sph else 0) + (cs.nq if has_quad else 0)
+    return jax.lax.slice_in_dim(pay, row_off, row_off + n_act, axis=1), has_sph, has_quad
+
+
+def _pixel_arrays(width: int, height: int, rp: int):
+    npix = width * height
+    pid = jnp.minimum(jnp.arange(rp, dtype=jnp.uint32), jnp.uint32(npix - 1))
+    px = (pid % jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
+    py = (pid // jnp.uint32(width)).astype(jnp.float32).reshape(1, rp)
+    return pid.reshape(1, rp), px, py
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "width", "height", "interpret"),
+)
+def _render_flat(
+    cs: CompactScene,
+    pay,
+    cam_vec,
+    ctl,
+    *,
+    spp: int,
+    max_bounces: int,
+    width: int,
+    height: int,
+    interpret: bool = False,
+):
+    npix = width * height
+    rp = ((npix + TILE_RAYS - 1) // TILE_RAYS) * TILE_RAYS
+    pid, px, py = _pixel_arrays(width, height, rp)
+    pay_active, has_sph, has_quad = _active_payload(cs, pay)
+    color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
+                        spp, max_bounces, has_sph, has_quad, interpret)
+    return color[:, :npix].T.reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "width", "height", "interpret",
+                     "mesh"),
+)
+def _render_flat_sharded(
+    cs: CompactScene,
+    pay,
+    cam_vec,
+    ctl,
+    *,
+    spp: int,
+    max_bounces: int,
+    width: int,
+    height: int,
+    mesh,
+    interpret: bool = False,
+):
+    """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
+    spp splits over "sample" with a pmean — the multi-chip forward path
+    (scene/payload replicated; the kernel runs per shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tinyraytracer_tpu.parallel.sharded import SAMPLE_AXIS, TILE_AXIS
+
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sample != 0:
+        raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
+    spp_local = spp // n_sample
+
+    npix = width * height
+    chunk = TILE_RAYS * n_tile
+    rp = ((npix + chunk - 1) // chunk) * chunk
+    pid, px, py = _pixel_arrays(width, height, rp)
+    pay_active, has_sph, has_quad = _active_payload(cs, pay)
+
+    def body(cs, pay_active, cam_vec, ctl, pid, px, py):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
+        color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
+                            spp_local, max_bounces, has_sph, has_quad,
+                            interpret)
+        return jax.lax.pmean(color, SAMPLE_AXIS)
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
+                  P(None, TILE_AXIS)),
+        out_specs=P(None, TILE_AXIS),
+        check_vma=False,
+    )
+    color = f(cs, pay_active, cam_vec, ctl, pid, px, py)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
@@ -531,11 +604,24 @@ class MegakernelRenderer:
         self.interpret = interpret
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
-               spp_offset: int = 0):
+               spp_offset: int = 0, mesh=None):
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,
         )
+        if mesh is not None:
+            return _render_flat_sharded(
+                self.cs,
+                self.pay,
+                self.cam_vec,
+                ctl,
+                spp=spp,
+                max_bounces=max_bounces,
+                width=self.camera.width,
+                height=self.camera.height,
+                mesh=mesh,
+                interpret=self.interpret,
+            )
         return _render_flat(
             self.cs,
             self.pay,

@@ -86,22 +86,24 @@ class Renderer:
             return True
         if self.accelerator != "auto":
             return False
-        if self.devices is not None and len(self.devices) > 1:
-            return False  # sharded path is modular for now
         return jax.devices()[0].platform == "tpu"
 
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
         """Linear-radiance (H, W, 3) framebuffer on device."""
         if self._use_megakernel():
-            from tinyraytracer_tpu.ops.megakernel import render_image_megakernel
+            from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
-            return render_image_megakernel(
-                scene,
-                camera,
+            mesh = None
+            if self.devices is not None and len(self.devices) > 1:
+                from tinyraytracer_tpu.parallel.sharded import make_mesh
+
+                mesh = make_mesh(self.devices)
+            mk = MegakernelRenderer(scene, camera, self.background_color)
+            return mk.render(
                 spp=self.samples_per_pixel,
                 max_bounces=self.max_bounces,
-                background=self.background_color,
                 seed=self.seed,
+                mesh=mesh,
             )
         bvh = self._maybe_bvh(scene)
         if self.devices is not None and len(self.devices) > 1:
@@ -147,13 +149,28 @@ class Renderer:
             (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
         ]
         w, h = camera.width, camera.height
+        bar = ProgressBar(total=spp, label="spp")
+        if self._use_megakernel():
+            from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
+
+            mk = MegakernelRenderer(scene, camera, self.background_color)
+            acc = jnp.zeros((h, w, 3), jnp.float32)
+            for off, n in rounds:
+                part = mk.render(
+                    spp=n, max_bounces=self.max_bounces,
+                    seed=self.seed, spp_offset=off,
+                )
+                acc = acc + part * (n / spp)
+                bar.update(n)
+            bar.close()
+            return acc
         pixel_id = jnp.arange(w * h, dtype=jnp.uint32)
         acc = jnp.zeros((w * h, 3), jnp.float32)
-        bar = ProgressBar(total=spp, label="spp")
         render_chunk = jax.jit(
             trace_ops.render_pixels,
             static_argnames=("spp", "max_bounces", "exact"),
         )
+        bvh = self._maybe_bvh(scene)
         for off, n in rounds:
             part = render_chunk(
                 scene,
@@ -164,6 +181,7 @@ class Renderer:
                 background=jnp.asarray(self.background_color, jnp.float32),
                 seed=jnp.uint32(self.seed),
                 spp_offset=jnp.uint32(off),
+                bvh=bvh,
             )
             acc = acc + part * (n / spp)
             bar.update(n)
