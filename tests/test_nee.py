@@ -57,6 +57,48 @@ def test_nee_reduces_variance(cornell):
     assert var_nee < 0.7 * var_base, (var_base, var_nee)
 
 
+def test_nee_geometry_gradient_matches_fd_boundary_free():
+    """On a scene with no visibility boundary in view (camera staring at a
+    wall-filling sphere lit by an overhead quad light), the NEE interior
+    estimator is the *complete* derivative, so analytic geometry gradients
+    must match central finite differences tightly."""
+    from tinyraytracer_tpu.models.camera import Camera
+    from tinyraytracer_tpu.models.geometry import Quad, Sphere
+    from tinyraytracer_tpu.models.materials import Lambertian, Light
+    from tinyraytracer_tpu.models.world import World
+
+    world = World()
+    world.add_material("ground", Lambertian((0.5, 0.6, 0.7)))
+    world.add_material("lamp", Light((10.0, 10.0, 10.0)))
+    world.add_geometry(Sphere((0.0, -100.0, 0.0), 100.0, "ground"))
+    world.add_geometry(Quad((-2.0, 6.0, -2.0), (4.0, 0.0, 0.0),
+                            (0.0, 0.0, 4.0), "lamp"))
+    camera = Camera.new(1.0, 0.0, (0.0, 3.0, 0.0), (0.0, 0.0, 0.001),
+                        (0.0, 0.0, 1.0), 50.0, 12, 10)
+    scene = world.build()
+    bg = jnp.asarray((0.0, 0.0, 0.0), jnp.float32)
+    target = jnp.zeros((10, 12, 3), jnp.float32)
+
+    def loss_wrt(field, idx, v):
+        arr = getattr(scene, field).at[idx].set(v)
+        return inverse.render_loss(
+            {**scene_params(scene), field: arr}, scene, camera, target,
+            spp=4, max_bounces=2, background=bg, seed=jnp.uint32(3), nee=True,
+        )
+
+    s_row = int(np.nonzero(np.asarray(scene.sph_valid))[0][0])
+    for field, idx, eps in (
+        ("sph_center", (s_row, 1), 5e-2),
+        ("sph_radius", (s_row,), 5e-2),
+    ):
+        v0 = getattr(scene, field)[idx]
+        g = float(jax.grad(lambda v: loss_wrt(field, idx, v))(v0))
+        fd = (float(loss_wrt(field, idx, v0 + eps))
+              - float(loss_wrt(field, idx, v0 - eps))) / (2 * eps)
+        assert np.isfinite(g) and abs(fd) > 1e-6, (field, g, fd)
+        assert abs(g - fd) <= 0.08 * abs(fd), (field, g, fd)
+
+
 def test_nee_geometry_gradients_nonzero(cornell):
     """Geometry grads are exactly zero under the base estimator (radiance
     is a product of discretely-selected constants) and finite, nonzero

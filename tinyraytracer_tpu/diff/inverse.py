@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import pickle
 from functools import partial
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

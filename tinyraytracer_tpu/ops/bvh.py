@@ -29,7 +29,7 @@ enforces the self-consistency gate of SURVEY.md §7 phase 6.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

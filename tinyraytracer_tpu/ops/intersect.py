@@ -22,8 +22,6 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

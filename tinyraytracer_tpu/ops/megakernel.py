@@ -45,7 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 from tinyraytracer_tpu.models.camera import Camera
 from tinyraytracer_tpu.models.world import SceneArrays
 from tinyraytracer_tpu.ops.intersect_pallas import CompactScene, compact_scene
-from tinyraytracer_tpu.models import materials as mat
 
 TILE_RAYS = 512
 

@@ -25,8 +25,6 @@ of spp.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -26,9 +26,8 @@ here is expressed over the global mesh, and XLA routes the sample-axis
 
 from __future__ import annotations
 
-import math
-from functools import lru_cache, partial
-from typing import Optional, Sequence, Tuple
+from functools import partial
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

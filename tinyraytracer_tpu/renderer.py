@@ -12,7 +12,6 @@ exactly as thread count never changed the reference's output.
 
 from __future__ import annotations
 
-import time
 from typing import Optional, Sequence, Tuple
 
 import jax
