@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import functools
 from functools import partial
 from typing import Callable, Optional, Tuple
 
@@ -64,11 +65,15 @@ def render_loss(
     spp_offset=0,
     exact: bool = False,
     nee: bool = True,
+    compact=None,
 ):
     """Single-device MSE between a fresh render and the target image.
 
     NEE is on by default: without explicit light sampling the pathwise
     gradient w.r.t. geometry is exactly zero a.e. (see ops.trace.trace).
+    `compact` (a CompactScene) switches closest-hit *selection* to the
+    fused Pallas kernel — selection is detached, so autodiff never sees
+    the kernel; gradients flow through the shared prim_t recompute.
     """
     s = apply_params(scene, params)
     w, h = camera.width, camera.height
@@ -84,6 +89,7 @@ def render_loss(
         exact=exact,
         spp_offset=spp_offset,
         nee=nee,
+        compact=compact,
     )
     return image_mse(img, target.reshape(-1, 3))
 
@@ -103,6 +109,7 @@ def make_train_step(
     advance_samples: bool = True,
     trainable: Optional[Tuple[str, ...]] = None,
     nee: bool = True,
+    use_kernel: Optional[bool] = None,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Build a jitted SGD step over the scene params (optionally sharded).
 
@@ -129,6 +136,21 @@ def make_train_step(
     background = jnp.asarray(background, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     base_seed = jnp.uint32(seed)
+    # Pallas closest-hit selection for the training render (TPU only by
+    # default; single-device path). The kernel consumes a host-compacted
+    # scene snapshot passed as a step argument: selection is detached and t
+    # is recomputed from the live params, so a slightly stale snapshot only
+    # perturbs winner choice near surfaces that moved; callers fitting
+    # geometry should refresh it every few steps:
+    #     compact = refresh_compact(scene_template, params)
+    #     params, opt_state, loss = step(params, opt_state, i, compact)
+    if use_kernel is None:
+        use_kernel = jax.devices()[0].platform == "tpu"
+    compact0 = None
+    if use_kernel and mesh is None:
+        from tinyraytracer_tpu.ops.intersect_pallas import compact_scene
+
+        compact0 = compact_scene(scene_template)
 
     if mesh is not None:
         n_tile = mesh.shape[sharded.TILE_AXIS]
@@ -190,7 +212,7 @@ def make_train_step(
     else:
         stride = jnp.uint32(spp if advance_samples else 0)
 
-        def loss_fn(params, step_idx):
+        def loss_fn(params, step_idx, compact):
             return render_loss(
                 params,
                 scene_template,
@@ -202,13 +224,22 @@ def make_train_step(
                 seed=base_seed,
                 spp_offset=step_idx * stride,
                 nee=nee,
+                compact=compact,
             )
 
     trainset = None if trainable is None else frozenset(trainable)
 
-    @jax.jit
-    def step(params, opt_state, step_idx):
-        loss, grads = jax.value_and_grad(loss_fn)(params, jnp.uint32(step_idx))
+    if mesh is not None:
+        _mesh_loss = loss_fn
+
+        def loss_fn(params, step_idx, compact):  # mesh path ignores compact
+            return _mesh_loss(params, step_idx)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(params, opt_state, step_idx, compact=compact0):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, jnp.uint32(step_idx), compact
+        )
         if trainset is not None:
             grads = {
                 k: g if k in trainset else jnp.zeros_like(g)
@@ -220,6 +251,14 @@ def make_train_step(
 
     params0 = scene_params(scene_template)
     return step, (params0, optimizer.init(params0))
+
+
+def refresh_compact(scene_template: SceneArrays, params: Params):
+    """Host-side compaction snapshot of the current fit state, for passing
+    back into a kernel-selected train step (see make_train_step)."""
+    from tinyraytracer_tpu.ops.intersect_pallas import compact_scene
+
+    return compact_scene(apply_params(scene_template, params))
 
 
 # ---------------------------------------------------------------------------
