@@ -46,7 +46,13 @@ from tinyraytracer_tpu.models.camera import Camera
 from tinyraytracer_tpu.models.world import SceneArrays
 from tinyraytracer_tpu.ops.intersect_pallas import CompactScene, compact_scene
 
-TILE_RAYS = 512
+import os as _os
+
+# Rays per kernel tile (lanes). 1024 measured fastest on v5e for the
+# Cornell benchmark (512: 43.5, 1024: 49.6, 2048: 49.1 Mrays/s) — fewer
+# grid steps amortize per-step overheads while the (N, TR) candidate
+# matrix stays tiny in VMEM. Overridable for experiments.
+TILE_RAYS = int(_os.environ.get("TINYRT_TILE_RAYS", "1024"))
 
 _T_MIN = 1.0e-3      # sampler/cpu.rs:48
 _MISS = 3.0e38
