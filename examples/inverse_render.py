@@ -46,8 +46,11 @@ def main() -> int:
     ap.add_argument("--sample-parallel", type=int, default=1)
     ap.add_argument("--out", default="output/inverse")
     ap.add_argument("--checkpoint", default="")
-    ap.add_argument("--trainable", default="mat_albedo,sph_center",
-                    help="comma-separated param fields to optimize")
+    ap.add_argument("--trainable", default="mat_albedo",
+                    help="comma-separated param fields to optimize "
+                         "(add sph_center to experiment with positions — "
+                         "see module docstring for why that needs edge "
+                         "sampling to converge)")
     args = ap.parse_args()
 
     import optax

@@ -240,6 +240,14 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(
             params, jnp.uint32(step_idx), compact
         )
+        # Gradient sanitization: a single degenerate sample (observed on
+        # TPU only — its approximate transcendentals hit edges the CPU
+        # path does not; the same trajectory runs clean on CPU) would
+        # otherwise NaN the optimizer state permanently. Zeroing the rare
+        # non-finite entries keeps the fit unbiased in expectation.
+        grads = {
+            k: jnp.where(jnp.isfinite(g), g, 0.0) for k, g in grads.items()
+        }
         if trainset is not None:
             grads = {
                 k: g if k in trainset else jnp.zeros_like(g)

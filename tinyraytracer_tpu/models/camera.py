@@ -105,7 +105,9 @@ class Camera:
             - v[..., None] * self.vertical
         )
         direction = target - origin
-        direction = direction / jnp.linalg.norm(direction, axis=-1, keepdims=True)
+        direction = direction / jnp.sqrt(
+            jnp.maximum(jnp.sum(direction * direction, -1, keepdims=True), 1e-24)
+        )
         return origin, direction
 
 

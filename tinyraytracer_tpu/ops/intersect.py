@@ -269,8 +269,12 @@ def hit_record_from(scene: SceneArrays, o, d, t, j) -> HitRecord:
         jnp.take(scene.quad_v, quad_j, axis=0),
     )
     outward = jnp.where(is_quad[:, None], qn, sph_out)
-    norm = jnp.linalg.norm(outward, axis=-1, keepdims=True)
-    outward_unit = outward / jnp.maximum(norm, 1e-30)
+    # sqrt(max(.)) instead of linalg.norm: d||x||/dx at x == 0 is NaN, and a
+    # fitted sphere center can land exactly on a (masked) shading point.
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(outward * outward, axis=-1, keepdims=True), 1e-24)
+    )
+    outward_unit = outward / norm
 
     front_face = _dot(d, outward) < 0.0                     # hittable/mod.rs:35
     normal = jnp.where(front_face[:, None], outward_unit, -outward_unit)

@@ -67,8 +67,10 @@ def scatter(d, rec: HitRecord, seed, pixel_id, sample_id, bounce):
     """
     u1, u2, u3, u4 = rng.uniform4(seed, pixel_id, sample_id, bounce + jnp.uint32(1))
     in_ball = rng.uniform_in_unit_sphere(u1, u2, u3)            # (R,3)
-    ball_norm = jnp.linalg.norm(in_ball, axis=-1, keepdims=True)
-    unit = in_ball / jnp.maximum(ball_norm, 1e-30)              # uniform on sphere
+    ball_norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(in_ball * in_ball, axis=-1, keepdims=True), 1e-24)
+    )
+    unit = in_ball / ball_norm                                  # uniform on sphere
 
     n = rec.normal
 
@@ -95,8 +97,8 @@ def scatter(d, rec: HitRecord, seed, pixel_id, sample_id, bounce):
         lam_dir,
         jnp.where(kind == mat.METAL, met_dir, die_dir),
     )
-    new_dir = new_dir / jnp.maximum(
-        jnp.linalg.norm(new_dir, axis=-1, keepdims=True), 1e-30
+    new_dir = new_dir / jnp.sqrt(
+        jnp.maximum(jnp.sum(new_dir * new_dir, axis=-1, keepdims=True), 1e-24)
     )
     attenuation = rec.albedo
     absorbed = rec.mat_kind == mat.LIGHT

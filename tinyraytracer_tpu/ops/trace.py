@@ -186,8 +186,8 @@ def _nee_contribution(
     dist = jnp.sqrt(jnp.maximum(r2, 1e-12))
     w = to_l / dist[:, None]                               # unit, x -> y
     ln = jnp.cross(lu, lv)
-    area = jnp.linalg.norm(ln, axis=-1)
-    ln_unit = ln / jnp.maximum(area, 1e-30)[:, None]
+    area = jnp.sqrt(jnp.maximum(jnp.sum(ln * ln, axis=-1), 1e-24))
+    ln_unit = ln / area[:, None]
     cos_x = jnp.sum(rec.normal * w, axis=-1)
     cos_y = jnp.abs(jnp.sum(ln_unit * w, axis=-1))         # double-sided light
 
