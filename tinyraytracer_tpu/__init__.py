@@ -28,7 +28,9 @@ from tinyraytracer_tpu.models.materials import (
     Dielectric,
     Light,
 )
-from tinyraytracer_tpu.models.world import World
+from tinyraytracer_tpu.models.ray import Ray
+from tinyraytracer_tpu.models.transform import Transform
+from tinyraytracer_tpu.models.world import World, SceneArrays
 from tinyraytracer_tpu.renderer import Renderer
 from tinyraytracer_tpu.utils.image import Image
 
@@ -44,7 +46,10 @@ __all__ = [
     "Metal",
     "Dielectric",
     "Light",
+    "Ray",
+    "Transform",
     "World",
+    "SceneArrays",
     "Renderer",
     "Image",
 ]
