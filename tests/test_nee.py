@@ -99,6 +99,39 @@ def test_nee_geometry_gradient_matches_fd_boundary_free():
         assert abs(g - fd) <= 0.08 * abs(fd), (field, g, fd)
 
 
+def test_nee_sphere_light_unbiased():
+    """NEE samples only quad lights; emission from a *sphere*-shaped Light
+    reached via a diffuse bounce must therefore still be counted at the hit
+    (the emission skip is restricted to NEE-sampled lights). A diffuse
+    scene lit solely by a sphere light must agree between nee=True and
+    nee=False within MC error."""
+    from tinyraytracer_tpu.models.camera import Camera
+    from tinyraytracer_tpu.models.geometry import Sphere
+    from tinyraytracer_tpu.models.materials import Lambertian, Light
+    from tinyraytracer_tpu.models.world import World
+
+    world = World()
+    world.add_material("ground", Lambertian((0.6, 0.6, 0.6)))
+    world.add_material("ball_light", Light((12.0, 12.0, 12.0)))
+    world.add_geometry(Sphere((0.0, -100.0, 0.0), 100.0, "ground"))
+    world.add_geometry(Sphere((0.0, 3.0, 0.0), 1.5, "ball_light"))
+    camera = Camera.new(1.0, 0.0, (0.0, 2.0, -8.0), (0.0, 1.0, 0.0),
+                        (0.0, 1.0, 0.0), 45.0, 24, 24)
+    scene = world.build()
+    bg = jnp.asarray((0.0, 0.0, 0.0), jnp.float32)
+
+    base = trace_ops.render_image(
+        scene, camera, spp=128, max_bounces=4, background=bg, seed=11
+    )
+    nee = trace_ops.render_image(
+        scene, camera, spp=128, max_bounces=4, background=bg, seed=11,
+        nee=True,
+    )
+    b, n = float(np.asarray(base).mean()), float(np.asarray(nee).mean())
+    assert b > 0.01  # the sphere light actually lights the scene
+    assert abs(b - n) / b < 0.05, (b, n)
+
+
 def test_nee_geometry_gradients_nonzero(cornell):
     """Geometry grads are exactly zero under the base estimator (radiance
     is a product of discretely-selected constants) and finite, nonzero

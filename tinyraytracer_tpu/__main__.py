@@ -54,7 +54,11 @@ def main(argv=None) -> int:
     world, camera, kw = presets.PRESETS[args.preset](
         width=args.width, height=args.height
     )
-    max_bounces = args.max_bounces or kw["max_bounces"]
+    max_bounces = (
+        kw["max_bounces"] if args.max_bounces is None else args.max_bounces
+    )
+    if max_bounces < 1:
+        ap.error("--max-bounces must be >= 1")
     devices = jax.devices()
     renderer = Renderer(
         samples_per_pixel=args.spp,

@@ -301,6 +301,11 @@ def load_checkpoint(path: str, opt_state_template=None):
     return params, opt_state, state["step"]
 
 
+_GEOMETRY_FIELDS = frozenset(
+    ("sph_center", "sph_radius", "quad_corner", "quad_u", "quad_v")
+)
+
+
 def fit(
     scene_template: SceneArrays,
     camera: Camera,
@@ -312,14 +317,23 @@ def fit(
     background,
     seed: int = 0,
     learning_rate: float = 1e-2,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    trainable: Optional[Tuple[str, ...]] = None,
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
+    refresh_compact_every: int = 10,
     log_every: int = 0,
 ) -> Tuple[SceneArrays, list]:
     """Run `steps` of Adam on the scene params; returns (scene, loss curve).
 
-    Resumes from `checkpoint_path` if it exists.
+    `trainable` names the free param fields (strongly recommended — with
+    every field free the problem is under-determined, see make_train_step);
+    `optimizer` overrides the default Adam. When the fit moves geometry and
+    the Pallas closest-hit kernel is in use, the compacted selection
+    snapshot is refreshed every `refresh_compact_every` steps so winner
+    selection tracks the moving surfaces. Resumes from `checkpoint_path`
+    if it exists.
     """
     step_fn, (params, opt_state) = make_train_step(
         scene_template,
@@ -330,14 +344,32 @@ def fit(
         background=background,
         seed=seed,
         learning_rate=learning_rate,
+        optimizer=optimizer,
+        trainable=trainable,
         mesh=mesh,
     )
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         params, opt_state, start = load_checkpoint(checkpoint_path, opt_state)
+    fits_geometry = trainable is None or bool(
+        _GEOMETRY_FIELDS & set(trainable)
+    )
+    use_kernel = mesh is None and jax.devices()[0].platform == "tpu"
+    compact = refresh_compact(scene_template, params) if use_kernel else None
     losses = []
     for i in range(start, steps):
-        params, opt_state, loss = step_fn(params, opt_state, i)
+        if (
+            use_kernel
+            and fits_geometry
+            and i > start
+            and refresh_compact_every
+            and i % refresh_compact_every == 0
+        ):
+            compact = refresh_compact(scene_template, params)
+        if use_kernel:
+            params, opt_state, loss = step_fn(params, opt_state, i, compact)
+        else:
+            params, opt_state, loss = step_fn(params, opt_state, i)
         losses.append(float(loss))
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps}  loss {float(loss):.6f}")

@@ -123,7 +123,10 @@ def generate_rays(camera: Camera, pixel_id, sample_id, seed):
     px = (pixel_id % w).astype(jnp.float32)
     py = (pixel_id // w).astype(jnp.float32)
     r1, r2, r3, r4 = rng.uniform4(seed, pixel_id, sample_id, jnp.uint32(0))
-    u = (px + r1) / jnp.float32(camera.width - 1)
-    v = (py + r2) / jnp.float32(camera.height - 1)
+    # max(.., 1) guards 1-pixel-wide/tall images (the reference's (w-1)
+    # normalization divides by zero there; pointgen.rs:41-42 never hits it
+    # because its scenes are fixed-size).
+    u = (px + r1) / jnp.float32(max(camera.width - 1, 1))
+    v = (py + r2) / jnp.float32(max(camera.height - 1, 1))
     disk = rng.uniform_in_unit_disk(r3, r4)
     return camera.get_ray(u, v, disk)

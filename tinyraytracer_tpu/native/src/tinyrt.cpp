@@ -77,15 +77,17 @@ int tinyrt_bvh_build(const float* bb_min, const float* bb_max, int n,
     }
     hit_link[idx] = idx + 1;
 
-    // Longest axis of the node bbox (aabb.rs:63-78).
-    int axis = 0;
-    float ext = mx[0] - mn[0];
-    for (int a = 1; a < 3; ++a) {
-      const float e = mx[a] - mn[a];
-      if (e > ext) {
-        ext = e;
-        axis = a;
-      }
+    // Longest axis of the node bbox (aabb.rs:63-78). Tie rule matches the
+    // reference exactly: equal extents resolve to z (its if/else chain
+    // requires a strictly greater extent to pick x or y).
+    const float ex = mx[0] - mn[0];
+    const float ey = mx[1] - mn[1];
+    const float ez = mx[2] - mn[2];
+    int axis;
+    if (ex > ey) {
+      axis = (ex > ez) ? 0 : 2;
+    } else {
+      axis = (ey > ez) ? 1 : 2;
     }
 
     std::vector<int> left, right;

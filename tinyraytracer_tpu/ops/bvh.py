@@ -131,7 +131,13 @@ def _build_host(bb_min: np.ndarray, bb_max: np.ndarray, prim_ids: np.ndarray):
             hit_link[idx] = escape  # unused for leaves; keep well-defined
             continue
         hit_link[idx] = idx + 1
-        axis = int(np.argmax(mx - mn))  # aabb.rs:63-78 longest_axis
+        # aabb.rs:63-78 longest_axis; ties resolve to z like the reference's
+        # if/else chain (strictly greater extent required to pick x or y).
+        sx, sy, sz = (mx - mn).tolist()
+        if sx > sy:
+            axis = 0 if sx > sz else 2
+        else:
+            axis = 1 if sy > sz else 2
         if k == 2:
             left, right = members[:1], members[1:]  # bvh.rs:58-67 (no sort)
         else:

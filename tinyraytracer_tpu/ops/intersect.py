@@ -56,6 +56,7 @@ class HitRecord:
     fuzz: jax.Array       # (R,)  f32
     ior: jax.Array        # (R,)  f32
     emit: jax.Array       # (R,3) f32
+    is_quad: jax.Array    # (R,)  bool — winner is a quad (NEE light-kind gate)
 
 
 def _dot(a, b):
@@ -296,4 +297,5 @@ def hit_record_from(scene: SceneArrays, o, d, t, j) -> HitRecord:
         fuzz=fuzz,
         ior=ior,
         emit=emit,
+        is_quad=is_quad,
     )

@@ -336,7 +336,9 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 py2 = eta * (dy + ny_ * cos)
                 pz_ = eta * (dz + nz_ * cos)
                 plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
-                par = -jnp.sqrt(jnp.abs(1.0 - plen2))
+                # Same 1e-12 floor as ops/scatter.py refract: keeps the two
+                # paths bit-identical at grazing incidence.
+                par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen2), 1e-12))
                 fx = px_ + par * nx_
                 fy = py2 + par * ny_
                 fz = pz_ + par * nz_

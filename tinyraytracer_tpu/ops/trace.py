@@ -111,8 +111,17 @@ def trace(
             miss_live[:, None], throughput * background[None, :], 0.0
         )
         # hit -> emission (cpu.rs:49-50). Under NEE the previous *diffuse*
-        # bounce already accounted for direct light, so skip it here.
-        count_emit = (hit_live & ~prev_diffuse) if nee else hit_live
+        # bounce already accounted for direct light — but only from the
+        # lights NEE samples (quad lights, _nee_contribution). Emission from
+        # sphere-shaped lights must still be counted here or their diffuse
+        # direct lighting is silently lost (biased darker).
+        if nee:
+            from tinyraytracer_tpu.models import materials as _mat
+
+            nee_sampled = rec.is_quad & (rec.mat_kind == _mat.LIGHT)
+            count_emit = hit_live & ~(prev_diffuse & nee_sampled)
+        else:
+            count_emit = hit_live
         color = color + jnp.where(count_emit[:, None], throughput * rec.emit, 0.0)
 
         if nee:

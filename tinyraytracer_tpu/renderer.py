@@ -152,12 +152,26 @@ class Renderer:
         if self._use_megakernel():
             from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
+            mesh = None
+            if self.devices is not None and len(self.devices) > 1:
+                from tinyraytracer_tpu.parallel.sharded import (
+                    SAMPLE_AXIS,
+                    make_mesh,
+                )
+
+                mesh = make_mesh(self.devices)
+                n_sample = mesh.shape[SAMPLE_AXIS]
+                # spp chunks must stay divisible by the sample axis.
+                chunk = max(n_sample, (chunk // n_sample) * n_sample)
+                rounds = [
+                    (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
+                ]
             mk = MegakernelRenderer(scene, camera, self.background_color)
             acc = jnp.zeros((h, w, 3), jnp.float32)
             for off, n in rounds:
                 part = mk.render(
                     spp=n, max_bounces=self.max_bounces,
-                    seed=self.seed, spp_offset=off,
+                    seed=self.seed, spp_offset=off, mesh=mesh,
                 )
                 acc = acc + part * (n / spp)
                 bar.update(n)
