@@ -160,6 +160,58 @@ def test_inverse_fit_recovers_albedo(down_scene):
     np.testing.assert_allclose(fitted, [0.4, 0.5, 0.6], atol=0.05)
 
 
+@pytest.mark.slow
+def test_silhouette_recovers_sphere_position():
+    """BASELINE.md gate: sphere *position* recovery from a large offset.
+
+    The pathwise estimator has zero geometry gradient a.e.; the silhouette
+    surrogate (ops.trace._silhouette_factor) supplies the boundary term.
+    A sphere offset 4 units (disjoint silhouettes) must recover to well
+    under its own radius."""
+    import optax
+
+    def build(cx):
+        w = World()
+        w.add_material("white", Lambertian((0.73, 0.73, 0.73)))
+        w.add_material("blue", Lambertian((0.1, 0.2, 0.8)))
+        w.add_material("lamp", Light((15.0, 15.0, 15.0)))
+        from tinyraytracer_tpu.models.geometry import Quad
+
+        w.add_geometry(Quad((-50.0, -50.0, 10.0), (100.0, 0.0, 0.0),
+                            (0.0, 100.0, 0.0), "white"))
+        w.add_geometry(Quad((-4.0, 19.99, -4.0), (8.0, 0.0, 0.0),
+                            (0.0, 0.0, 8.0), "lamp"))
+        w.add_geometry(Sphere((cx, 0.0, 0.0), 3.0, "blue"))
+        cam = Camera.new(20.0, 0.0, (0.0, 0.0, -20.0), (0.0, 0.0, 0.0),
+                         (0.0, 1.0, 0.0), 40.0, 48, 48)
+        return w.build(), cam
+
+    scene_t, cam = build(0.0)
+    bg = jnp.asarray((0.001,) * 3, jnp.float32)
+    target = trace_ops.render_image(
+        scene_t, cam, spp=48, max_bounces=3, background=bg, seed=1, nee=True
+    )
+    scene0, _ = build(4.0)
+    s_row = int(np.nonzero(np.asarray(scene0.sph_valid))[0][0])
+
+    # Hold the LR until the basin is reached (~45 steps from 4 units out),
+    # then decay hard so SGD noise stops the weakly-constrained depth axis
+    # from wandering.
+    sched = optax.join_schedules(
+        [optax.constant_schedule(0.15),
+         optax.exponential_decay(0.15, transition_steps=10, decay_rate=0.4)],
+        boundaries=[45],
+    )
+    step, (params, opt) = inverse.make_train_step(
+        scene0, cam, target, spp=16, max_bounces=3, background=bg, seed=0,
+        optimizer=optax.adam(sched), trainable=("sph_center",),
+    )
+    for i in range(100):
+        params, opt, _ = step(params, opt, i)
+    err = float(np.linalg.norm(np.asarray(params["sph_center"])[s_row]))
+    assert err < 0.5, f"center error {err:.3f} after 100 steps (started at 4.0)"
+
+
 def test_checkpoint_roundtrip(tmp_path, down_scene):
     scene, camera = down_scene
     target = np.zeros((H, W, 3), np.float32)

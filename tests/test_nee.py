@@ -143,9 +143,11 @@ def test_nee_geometry_gradients_nonzero(cornell):
     params = scene_params(scene)
 
     def loss(p, nee):
+        # silhouette=False isolates the estimators themselves (the
+        # silhouette surrogate adds boundary gradients on top of either).
         return inverse.render_loss(
             p, scene, camera, target, spp=4, max_bounces=3,
-            background=bg, seed=jnp.uint32(13), nee=nee,
+            background=bg, seed=jnp.uint32(13), nee=nee, silhouette=False,
         )
 
     g_base = jax.grad(lambda p: loss(p, False))(params)

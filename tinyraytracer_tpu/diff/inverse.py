@@ -50,7 +50,7 @@ def image_mse(img, target):
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "exact", "nee"),
+    static_argnames=("spp", "max_bounces", "exact", "nee", "silhouette"),
 )
 def render_loss(
     params: Params,
@@ -65,6 +65,7 @@ def render_loss(
     spp_offset=0,
     exact: bool = False,
     nee: bool = True,
+    silhouette: bool = True,
     compact=None,
 ):
     """Single-device MSE between a fresh render and the target image.
@@ -89,7 +90,9 @@ def render_loss(
         exact=exact,
         spp_offset=spp_offset,
         nee=nee,
+        silhouette=silhouette,
         compact=compact,
+        fuse_spp=True,
     )
     return image_mse(img, target.reshape(-1, 3))
 
@@ -109,6 +112,7 @@ def make_train_step(
     advance_samples: bool = True,
     trainable: Optional[Tuple[str, ...]] = None,
     nee: bool = True,
+    silhouette: bool = True,
     use_kernel: Optional[bool] = None,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Build a jitted SGD step over the scene params (optionally sharded).
@@ -147,7 +151,7 @@ def make_train_step(
     if use_kernel is None:
         use_kernel = jax.devices()[0].platform == "tpu"
     compact0 = None
-    if use_kernel and mesh is None:
+    if use_kernel:
         from tinyraytracer_tpu.ops.intersect_pallas import compact_scene
 
         compact0 = compact_scene(scene_template)
@@ -171,10 +175,10 @@ def make_train_step(
             jnp.float32
         )
 
-        def loss_fn(params, step_idx):
+        def loss_fn(params, step_idx, compact):
             s = apply_params(scene_template, params)
 
-            def body(scene, camera, background, tgt, wgt, pids):
+            def body(scene, camera, background, tgt, wgt, pids, compact):
                 s_idx = jax.lax.axis_index(sharded.SAMPLE_AXIS).astype(jnp.uint32)
                 img = trace_ops.render_pixels(
                     scene,
@@ -187,6 +191,9 @@ def make_train_step(
                     spp_offset=step_idx * stride
                     + s_idx * jnp.uint32(spp_local),
                     nee=nee,
+                    silhouette=silhouette,
+                    compact=compact,
+                    fuse_spp=True,
                 )
                 img = jax.lax.pmean(img, sharded.SAMPLE_AXIS)
                 se = jnp.sum(wgt[:, None] * (img - tgt) ** 2)
@@ -202,11 +209,12 @@ def make_train_step(
                     P(sharded.TILE_AXIS),
                     P(sharded.TILE_AXIS),
                     P(sharded.TILE_AXIS),
+                    P(),
                 ),
                 out_specs=P(),
                 check_vma=False,  # see parallel/sharded.py
             )
-            se = f(s, camera, background, tgt_pad, weight, pixel_id)
+            se = f(s, camera, background, tgt_pad, weight, pixel_id, compact)
             return se / jnp.float32(npix * 3)
 
     else:
@@ -224,16 +232,11 @@ def make_train_step(
                 seed=base_seed,
                 spp_offset=step_idx * stride,
                 nee=nee,
+                silhouette=silhouette,
                 compact=compact,
             )
 
     trainset = None if trainable is None else frozenset(trainable)
-
-    if mesh is not None:
-        _mesh_loss = loss_fn
-
-        def loss_fn(params, step_idx, compact):  # mesh path ignores compact
-            return _mesh_loss(params, step_idx)
 
     @functools.partial(jax.jit, static_argnames=())
     def step(params, opt_state, step_idx, compact=compact0):
@@ -354,7 +357,7 @@ def fit(
     fits_geometry = trainable is None or bool(
         _GEOMETRY_FIELDS & set(trainable)
     )
-    use_kernel = mesh is None and jax.devices()[0].platform == "tpu"
+    use_kernel = jax.devices()[0].platform == "tpu"
     compact = refresh_compact(scene_template, params) if use_kernel else None
     losses = []
     for i in range(start, steps):

@@ -40,6 +40,31 @@ def _mm(a, b):
 MISS_T = jnp.float32(3.0e38)
 T_MIN = jnp.float32(1.0e-3)  # sampler/cpu.rs:48
 
+# Table size above which per-ray row gathers fall back to jnp.take. Below
+# it, gathers lower to one-hot matmuls: the forward rides the MXU and —
+# decisive for training throughput — the *transpose* is another matmul
+# instead of a 360k-update scatter-add, which TPUs serialize.
+_ONEHOT_GATHER_MAX = 1024
+
+
+def take_rows(table, j):
+    """Differentiable `table[j]` for (N,) / (N, K) tables, (R,) indices.
+
+    Small tables use a one-hot matmul (see _ONEHOT_GATHER_MAX). Exactness:
+    each output row is a sum with exactly one nonzero product 1.0 * x, so
+    the result is bitwise equal to the gather (HIGHEST precision keeps the
+    MXU in full f32).
+    """
+    n = table.shape[0]
+    if n > _ONEHOT_GATHER_MAX:
+        return jnp.take(table, j, axis=0)
+    oh = (j[:, None] == jnp.arange(n, dtype=j.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    if table.ndim == 1:
+        return _mm(oh, table[:, None])[:, 0]
+    return _mm(oh, table)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -158,8 +183,8 @@ def prim_t(scene: SceneArrays, o, d, j, t_min=T_MIN, t_max=MISS_T):
     qj = jnp.clip(j - ns, 0, nq - 1)
 
     # Sphere (exact oc = o - c form).
-    c = jnp.take(scene.sph_center, sj, axis=0)
-    r = jnp.take(scene.sph_radius, sj)
+    c = take_rows(scene.sph_center, sj)
+    r = take_rows(scene.sph_radius, sj)
     oc = o - c
     half_b = jnp.sum(oc * d, axis=-1)
     c_term = jnp.sum(oc * oc, axis=-1) - r * r
@@ -175,9 +200,9 @@ def prim_t(scene: SceneArrays, o, d, j, t_min=T_MIN, t_max=MISS_T):
     ts = jnp.where(has_root, ts, MISS_T)
 
     # Quad.
-    corner = jnp.take(scene.quad_corner, qj, axis=0)
-    qu = jnp.take(scene.quad_u, qj, axis=0)
-    qv = jnp.take(scene.quad_v, qj, axis=0)
+    corner = take_rows(scene.quad_corner, qj)
+    qu = take_rows(scene.quad_u, qj)
+    qv = take_rows(scene.quad_v, qj)
     n = jnp.cross(qu, qv)
     nn = jnp.maximum(jnp.sum(n * n, axis=-1), 1e-30)
     denom = jnp.sum(d * n, axis=-1)
@@ -203,14 +228,56 @@ def prim_t(scene: SceneArrays, o, d, j, t_min=T_MIN, t_max=MISS_T):
 
 
 def _gather_materials(scene: SceneArrays, mat_id):
-    take = lambda a: jnp.take(a, mat_id, axis=0)
     return (
-        take(scene.mat_kind),
-        take(scene.mat_albedo),
-        take(scene.mat_fuzz),
-        take(scene.mat_ior),
-        take(scene.mat_emit),
+        jnp.take(scene.mat_kind, mat_id, axis=0),  # i32: no backward
+        take_rows(scene.mat_albedo, mat_id),
+        take_rows(scene.mat_fuzz, mat_id),
+        take_rows(scene.mat_ior, mat_id),
+        take_rows(scene.mat_emit, mat_id),
     )
+
+
+def closest_select(
+    scene: SceneArrays,
+    o,
+    d,
+    t_min=T_MIN,
+    t_max=MISS_T,
+    exact: bool = False,
+):
+    """Detached closest-hit *selection*: (t_sel (R,), j (R,)) over all prims.
+
+    Vectorized equivalent of walking World geometry / BVH::hit
+    (bvh.rs:88-107): compute all candidate ts, take the argmin. Selection is
+    discrete and detached by construction; differentiable consumers recompute
+    the winner's t with `prim_t`. Also the shadow-ray screen for NEE (which
+    needs only t, no HitRecord)."""
+    sel = jax.tree.map(jax.lax.stop_gradient, scene)
+    o_s = jax.lax.stop_gradient(o)
+    d_s = jax.lax.stop_gradient(d)
+    ts = sphere_ts(sel, o_s, d_s, t_min, t_max, exact=exact)
+    tq = quad_ts(sel, o_s, d_s, t_min, t_max)
+    t_all = jnp.concatenate([ts, tq], axis=1)      # (R, Ns+Nq)
+    j = jnp.argmin(t_all, axis=1)                  # (R,)
+    t_sel = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
+    return t_sel, j
+
+
+def select_to_record(
+    scene: SceneArrays, o, d, t_sel, j, t_min=T_MIN, t_max=MISS_T
+) -> HitRecord:
+    """Differentiable HitRecord from a detached selection (t_sel, j).
+
+    The winner's t is recomputed by the shared differentiable `prim_t`, so
+    gradients flow through R winners instead of R×N candidates and are
+    identical across the dense / BVH / Pallas selection paths. On the rare
+    grazing ray where the screening formula and prim_t disagree about
+    validity, the screened t is kept."""
+    hit = t_sel < MISS_T
+    j = jnp.maximum(j, 0)  # miss sentinels (-1 from BVH/Pallas) -> any row
+    t_re = prim_t(scene, o, d, j, t_min, t_max)
+    t = jnp.where(hit, jnp.where(t_re < MISS_T, t_re, t_sel), MISS_T)
+    return hit_record_from(scene, o, d, t, j)
 
 
 def intersect_scene(
@@ -221,29 +288,10 @@ def intersect_scene(
     t_max=MISS_T,
     exact: bool = False,
 ) -> HitRecord:
-    """Closest hit of each ray in (o, d) against the whole scene.
-
-    Vectorized equivalent of walking World geometry / BVH::hit
-    (bvh.rs:88-107): compute all candidate ts, take the argmin. The dense
-    candidate pass is *selection only* (detached — the winner index is
-    discrete); the winner's t is recomputed by the shared differentiable
-    `prim_t`, so gradients flow through R winners instead of R×N candidates
-    and are identical between this path and the BVH path.
-    """
-    sel = jax.tree.map(jax.lax.stop_gradient, scene)
-    o_s = jax.lax.stop_gradient(o)
-    d_s = jax.lax.stop_gradient(d)
-    ts = sphere_ts(sel, o_s, d_s, t_min, t_max, exact=exact)
-    tq = quad_ts(sel, o_s, d_s, t_min, t_max)
-    t_all = jnp.concatenate([ts, tq], axis=1)      # (R, Ns+Nq)
-    j = jnp.argmin(t_all, axis=1)                  # (R,)
-    t_sel = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
-    hit = t_sel < MISS_T
-    # Differentiable recompute; on the rare grazing ray where the screening
-    # formula and prim_t disagree about validity, keep the screened t.
-    t_re = prim_t(scene, o, d, j, t_min, t_max)
-    t = jnp.where(hit, jnp.where(t_re < MISS_T, t_re, t_sel), MISS_T)
-    return hit_record_from(scene, o, d, t, j)
+    """Closest hit of each ray in (o, d) against the whole scene
+    (selection + differentiable recompute; see closest_select)."""
+    t_sel, j = closest_select(scene, o, d, t_min, t_max, exact=exact)
+    return select_to_record(scene, o, d, t_sel, j, t_min, t_max)
 
 
 def hit_record_from(scene: SceneArrays, o, d, t, j) -> HitRecord:
@@ -263,11 +311,11 @@ def hit_record_from(scene: SceneArrays, o, d, t, j) -> HitRecord:
     sph_j = jnp.minimum(j, ns - 1)
     quad_j = jnp.clip(j - ns, 0, nq - 1)
 
-    center = jnp.take(scene.sph_center, sph_j, axis=0)     # (R,3)
+    center = take_rows(scene.sph_center, sph_j)             # (R,3)
     sph_out = point - center                                # outward normal dir
     qn = jnp.cross(
-        jnp.take(scene.quad_u, quad_j, axis=0),
-        jnp.take(scene.quad_v, quad_j, axis=0),
+        take_rows(scene.quad_u, quad_j),
+        take_rows(scene.quad_v, quad_j),
     )
     outward = jnp.where(is_quad[:, None], qn, sph_out)
     # sqrt(max(.)) instead of linalg.norm: d||x||/dx at x == 0 is NaN, and a

@@ -287,10 +287,7 @@ def intersect_scene_compact(
 ) -> HitRecord:
     """Closest hit via the Pallas kernel, gradient-equivalent to the dense
     and BVH paths (selection detached, winner recomputed by prim_t)."""
+    from tinyraytracer_tpu.ops.intersect import select_to_record
+
     t_screen, j = closest_hit_pallas(cs, o, d, interpret=interpret)
-    hit = j >= 0
-    # Differentiable recompute; keep the screened t on the rare grazing ray
-    # where the two formulas disagree about validity (as the dense path does).
-    t_re = prim_t(scene, o, d, jnp.maximum(j, 0))
-    t = jnp.where(hit, jnp.where(t_re < MISS_T, t_re, t_screen), MISS_T)
-    return hit_record_from(scene, o, d, t, jnp.maximum(j, 0))
+    return select_to_record(scene, o, d, t_screen, j)

@@ -101,12 +101,21 @@ def _normalize3(x, y, z):
 
 
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
-                 has_sph: bool, has_quad: bool):
+                 has_sph: bool, has_quad: bool, early_exit: bool = False):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
     the Cornell box (quads only) skips all sphere arithmetic, random-sphere
     scenes skip the quad block.
+
+    `early_exit` turns the bounce loop into a while_loop that stops when
+    every lane in the tile is dead. In *open* scenes (sky background) the
+    mean path length is a small fraction of the budget — config 4 runs
+    max_bounces=50 with ~3-bounce mean paths, so the fori_loop wastes >90%
+    of its iterations on dead lanes (measured: throughput scales ~1/budget).
+    Enclosed scenes (Cornell) keep most lanes alive to the budget, where the
+    per-bounce alive-reduce + lost pipelining costs ~10% — so this is a
+    per-scene choice (see MegakernelRenderer.render's auto rule).
     """
 
     def kernel(
@@ -369,14 +378,23 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 return (ox, oy, oz, dx, dy, dz,
                         tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
 
-            # Note: an all-lanes-dead early exit (while_loop + max-reduce)
-            # was measured SLOWER than the plain fori_loop — a 512-ray tile
-            # almost always keeps one live ray to the budget, so the exit
-            # never fires and the per-bounce reduce + lost loop pipelining
-            # cost ~12%.
             st = (ox, oy, oz, dx, dy, dz,
                   tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f)
-            st = jax.lax.fori_loop(0, max_bounces, bounce_body, st)
+            if early_exit:
+                def cond(bst):
+                    b, st = bst
+                    return (b < max_bounces) & (jnp.max(st[12]) > 0.5)
+
+                def wbody(bst):
+                    b, st = bst
+                    return b + 1, bounce_body(b, st)
+
+                _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), st))
+            else:
+                # In enclosed scenes most lanes live to the budget: the
+                # alive-check would never fire and costs ~10% in reduce +
+                # lost loop pipelining.
+                st = jax.lax.fori_loop(0, max_bounces, bounce_body, st)
             col_r, col_g, col_b = st[9], st[10], st[11]
             ar, ag, ab = acc
             return (ar + col_r, ag + col_g, ab + col_b)
@@ -467,11 +485,13 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
 
 
 def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
-                spp, max_bounces, has_sph, has_quad, interpret):
+                spp, max_bounces, has_sph, has_quad, interpret,
+                early_exit=False):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
     rp = pid.shape[1]
     g = rp // TILE_RAYS
-    kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad)
+    kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
+                          early_exit)
     tile = lambda i: (0, i)
     return pl.pallas_call(
         kernel,
@@ -518,7 +538,8 @@ def _pixel_arrays(width: int, height: int, rp: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "width", "height", "interpret"),
+    static_argnames=("spp", "max_bounces", "width", "height", "interpret",
+                     "early_exit"),
 )
 def _render_flat(
     cs: CompactScene,
@@ -531,20 +552,22 @@ def _render_flat(
     width: int,
     height: int,
     interpret: bool = False,
+    early_exit: bool = False,
 ):
     npix = width * height
     rp = ((npix + TILE_RAYS - 1) // TILE_RAYS) * TILE_RAYS
     pid, px, py = _pixel_arrays(width, height, rp)
     pay_active, has_sph, has_quad = _active_payload(cs, pay)
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
-                        spp, max_bounces, has_sph, has_quad, interpret)
+                        spp, max_bounces, has_sph, has_quad, interpret,
+                        early_exit)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "mesh"),
+                     "mesh", "early_exit"),
 )
 def _render_flat_sharded(
     cs: CompactScene,
@@ -558,6 +581,7 @@ def _render_flat_sharded(
     height: int,
     mesh,
     interpret: bool = False,
+    early_exit: bool = False,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
@@ -583,7 +607,7 @@ def _render_flat_sharded(
         ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
-                            interpret)
+                            interpret, early_exit)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
@@ -609,9 +633,17 @@ class MegakernelRenderer:
         self.pay = _payload_matrix(scene, self.cs)
         self.cam_vec = _camera_vector(camera, background)
         self.interpret = interpret
+        # Auto early-exit rule: a bright background marks an *open* scene
+        # (sky) whose rays escape after a few bounces — the all-dead exit
+        # fires long before the budget. Near-black backgrounds mark enclosed
+        # scenes (Cornell) where lanes survive to the budget and the exit
+        # check only costs.
+        self._bg_open = float(np.max(np.asarray(background))) > 0.01
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
-               spp_offset: int = 0, mesh=None):
+               spp_offset: int = 0, mesh=None, early_exit=None):
+        if early_exit is None:
+            early_exit = self._bg_open
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,
@@ -628,6 +660,7 @@ class MegakernelRenderer:
                 height=self.camera.height,
                 mesh=mesh,
                 interpret=self.interpret,
+                early_exit=early_exit,
             )
         return _render_flat(
             self.cs,
@@ -639,6 +672,7 @@ class MegakernelRenderer:
             width=self.camera.width,
             height=self.camera.height,
             interpret=self.interpret,
+            early_exit=early_exit,
         )
 
 

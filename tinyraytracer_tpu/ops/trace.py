@@ -27,11 +27,23 @@ from __future__ import annotations
 from functools import partial
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from tinyraytracer_tpu.models.camera import Camera, generate_rays
 from tinyraytracer_tpu.models.world import SceneArrays
 from tinyraytracer_tpu.ops import intersect as isect
 from tinyraytracer_tpu.ops.scatter import scatter
+
+# Rematerialization policy for the bounce scan: the detached winner/shadow
+# *selections* (argmin / BVH walk / Pallas kernel — the expensive discrete
+# part) are saved as per-bounce residuals, so the backward pass recomputes
+# only the cheap differentiable shading chain. Without this, remat re-runs
+# every selection pass a second time under the transpose.
+_SAVE_SELECT = jax.checkpoint_policies.save_only_these_names("select")
+
+# Target wavefront width (rays traced at once) when fusing samples; one
+# wavefront's live state is ~30 (R,) f32 arrays, so 1M rays ~ 120 MB HBM.
+_FUSE_RAY_TARGET = 1 << 20
 
 
 def trace(
@@ -49,6 +61,7 @@ def trace(
     compact=None,
     interpret: bool = False,
     nee: bool = False,
+    silhouette: bool = False,
 ):
     """Path-trace a ray wavefront. Returns (R, 3) linear radiance.
 
@@ -86,22 +99,31 @@ def trace(
         jnp.zeros((r,), bool),           # previous bounce was diffuse (NEE)
     )
 
-    def intersect(o, d):
+    def select(o, d):
+        """Detached closest-hit selection: (t_screen, j). j < 0 = miss."""
         if compact is not None:
             from tinyraytracer_tpu.ops.intersect_pallas import (
-                intersect_scene_compact,
+                closest_hit_pallas,
             )
 
-            return intersect_scene_compact(scene, compact, o, d, interpret=interpret)
+            return closest_hit_pallas(compact, o, d, interpret=interpret)
         if bvh is not None:
-            from tinyraytracer_tpu.ops.bvh import intersect_scene_bvh
+            from tinyraytracer_tpu.ops.bvh import traverse
 
-            return intersect_scene_bvh(scene, bvh, o, d)
-        return isect.intersect_scene(scene, o, d, exact=exact)
+            return traverse(scene, bvh, o, d)
+        return isect.closest_select(scene, o, d, exact=exact)
 
     def body(carry, bounce):
         o, d, throughput, color, alive, prev_diffuse = carry
-        rec = intersect(o, d)
+        # Selection is detached and saved as a remat residual ("select"):
+        # the backward pass reconstructs the record from the saved winner
+        # instead of re-running the argmin / BVH walk / Pallas kernel.
+        t_sel, j = checkpoint_name(select(o, d), "select")
+        if silhouette:
+            throughput = throughput * _silhouette_factor(
+                scene, o, d, t_sel, j, alive
+            )[:, None]
+        rec = isect.select_to_record(scene, o, d, t_sel, j)
 
         hit_live = alive & rec.hit
         miss_live = alive & ~rec.hit
@@ -127,7 +149,7 @@ def trace(
         if nee:
             color = color + _nee_contribution(
                 scene, rec, hit_live, throughput, d,
-                seed, pixel_id, sample_id, bounce, intersect,
+                seed, pixel_id, sample_id, bounce, select,
             )
 
         new_d, attenuation, absorbed = scatter(
@@ -144,21 +166,83 @@ def trace(
         return (o, d, throughput, color, alive, prev_diffuse), None
 
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=_SAVE_SELECT)
     bounces = jnp.arange(max_bounces, dtype=jnp.uint32)
     (_, _, _, color, _, _), _ = jax.lax.scan(body, init, bounces)
     return color
 
 
+def _silhouette_factor(scene, o, d, t_sel, j, alive):
+    """Sphere silhouette (boundary) gradients via a value-preserving ratio.
+
+    The pathwise estimator's radiance is constant w.r.t. WHICH primitive a
+    ray hits — geometry only moves the discontinuity boundary, so image
+    gradients w.r.t. sphere positions are zero a.e. and large position
+    offsets never recover (VERDICT r1 §Missing 3). Sphere silhouettes are
+    analytic circles, so the boundary term has a cheap surrogate: treat each
+    ray×sphere visibility event as a Bernoulli with a *soft* probability
+    from the ray-line/center separation,
+
+        cov_s  = sigmoid((|r_s| - dmin_s) / w_s)          (hit event)
+        p_s    = cov_s   if the ray's winner is sphere s
+                 1-cov_s otherwise (sphere s in front failed to occlude)
+
+    and multiply throughput by prod_s p_s / stop_grad(p_s): forward value is
+    exactly 1 (the estimator is unchanged, unbiased), while the backward
+    pass sees the score-function term d log p_s / d(center, radius). Summed
+    over rays straddling the silhouette this approximates the edge integral
+    (f_in - f_out) dEdge/dparam — the practical stand-in for explicit edge
+    sampling (SURVEY.md §7 "edge-aware estimator"), same construction as
+    the NEE soft-shadow surrogate below.
+
+    Rays and the winner t are detached: the factor differentiates sphere
+    parameters only. Spheres strictly behind the winner surface get p = 1
+    (moving them cannot change this ray — no spurious gradient).
+    """
+    sg = jax.lax.stop_gradient
+    o = sg(o)
+    d = sg(d)
+    t_sel = sg(t_sel)
+    ns = scene.sph_center.shape[0]
+    c = scene.sph_center                                   # (Ns,3) attached
+    r = jnp.abs(scene.sph_radius)                          # (Ns,)
+
+    hit = t_sel < isect.MISS_T
+    t_lim = jnp.where(hit, t_sel, 3.0e30)                  # (R,)
+    is_sph_winner = hit[:, None] & (j[:, None] == jnp.arange(ns)[None, :])
+
+    co = c[None, :, :] - o[:, None, :]                     # (R,Ns,3)
+    s_along = jnp.sum(co * d[:, None, :], axis=-1)         # (R,Ns)
+    # Hit event: closest approach of the forward ray line (no far clamp —
+    # the winner IS this sphere, its own hit t would clamp onto the surface
+    # and flatten cov to 1/2 for every interior ray). Pass-by event: clamp
+    # to the winner t so spheres behind the actual hit stay inert.
+    s_hit = jnp.maximum(s_along, float(isect.T_MIN))
+    s_blk = jnp.clip(s_along, float(isect.T_MIN), t_lim[:, None])
+    s_eff = jnp.where(is_sph_winner, s_hit, s_blk)
+    closest = o[:, None, :] + s_eff[..., None] * d[:, None, :]
+    dmin = jnp.sqrt(
+        jnp.maximum(jnp.sum((closest - c[None, :, :]) ** 2, axis=-1), 1e-12)
+    )
+    w = 0.05 * r[None, :] + 1e-5
+    cov = jax.nn.sigmoid((r[None, :] - dmin) / w)
+    p = jnp.where(is_sph_winner, cov, 1.0 - cov)
+    p = jnp.where(scene.sph_valid[None, :] & alive[:, None], p, 1.0)
+    ratio = p / jnp.maximum(sg(p), 1e-3)
+    return jnp.prod(ratio, axis=-1)                        # (R,)
+
+
 def _nee_contribution(
     scene, rec, hit_live, throughput, d, seed, pixel_id, sample_id, bounce,
-    intersect,
+    select,
 ):
     """Direct-light term via area sampling of quad lights.
 
     One light is chosen uniformly among the scene's quad lights per shading
     point; the estimator is weighted by the light count. The shadow test is
-    detached (discrete visibility); every other factor differentiates.
+    detached (discrete visibility) and needs only a screening t, so it uses
+    the cheap `select` pass (no HitRecord assembly, no recompute) and is
+    saved as a remat residual like the winner selection.
     """
     from tinyraytracer_tpu.models import materials as mat
     from tinyraytracer_tpu.ops import rng
@@ -183,10 +267,10 @@ def _nee_contribution(
     eq = (cum[None, :] == k[:, None]) & light_mask[None, :]
     il = jnp.argmax(eq, axis=1)                            # (R,)
 
-    corner = jnp.take(scene.quad_corner, il, axis=0)
-    lu = jnp.take(scene.quad_u, il, axis=0)
-    lv = jnp.take(scene.quad_v, il, axis=0)
-    l_emit = jnp.take(scene.mat_emit, jnp.take(scene.quad_mat, il), axis=0)
+    corner = isect.take_rows(scene.quad_corner, il)
+    lu = isect.take_rows(scene.quad_u, il)
+    lv = isect.take_rows(scene.quad_v, il)
+    l_emit = isect.take_rows(scene.mat_emit, jnp.take(scene.quad_mat, il))
 
     y = corner + u1[:, None] * lu + u2[:, None] * lv       # point on light
     x = rec.point
@@ -205,10 +289,11 @@ def _nee_contribution(
         hit_live & (rec.mat_kind == mat.LAMBERTIAN) & any_light & (cos_x > 0.0)
     )
 
-    # Detached shadow ray: x (+ epsilon along w) -> y.
+    # Detached shadow ray x -> y: occluded iff anything lies closer than
+    # the light sample (selection-only screen; no record assembly).
     sg = jax.lax.stop_gradient
-    srec = intersect(sg(x), sg(w))
-    visible = ~(srec.hit & (srec.t < sg(dist) * (1.0 - 1e-3)))
+    occ_t, _ = checkpoint_name(select(sg(x), sg(w)), "select")
+    visible = ~(occ_t < sg(dist) * (1.0 - 1e-3))
 
     # Soft-shadow surrogate gradient for SPHERE occluders: the hard
     # visibility above is detached, which silences the strongest positional
@@ -266,6 +351,8 @@ def render_pixels(
     compact=None,
     interpret: bool = False,
     nee: bool = False,
+    silhouette: bool = False,
+    fuse_spp: bool = False,
 ) -> jax.Array:
     """Mean radiance over `spp` jittered samples for the given flat pixel ids.
 
@@ -276,26 +363,59 @@ def render_pixels(
     """
     background = jnp.asarray(background, jnp.float32)
     seed = jnp.uint32(seed)
+    npix = pixel_id.shape[0]
 
-    def round_body(acc, s):
-        o, d = generate_rays(camera, pixel_id, s, seed)
+    # Wavefront width: trace `chunk` samples of every pixel in ONE wavefront
+    # (R = chunk*npix rays) so the device sees long vectors instead of spp
+    # sequential rounds — the backward pass in particular is dominated by
+    # per-round latency at small R. chunk divides spp; its size is capped so
+    # peak memory stays at one ~1M-ray wavefront (SURVEY.md §5 streaming).
+    if fuse_spp:
+        cap = max(1, _FUSE_RAY_TARGET // max(npix, 1))
+        chunk = 1
+        for c in range(min(spp, cap), 0, -1):
+            if spp % c == 0:
+                chunk = c
+                break
+    else:
+        chunk = 1
+    rounds = spp // chunk
+
+    def round_body(acc, s0):
+        # s0 = first global sample id of this round (round covers
+        # [s0, s0 + chunk)).
+        if chunk == 1:
+            pid, sid = pixel_id, s0
+        else:
+            pid = jnp.tile(pixel_id, chunk)
+            sid = jnp.repeat(
+                s0 + jnp.arange(chunk, dtype=jnp.uint32), npix
+            )
+        o, d = generate_rays(camera, pid, sid, seed)
         c = trace(
-            scene, o, d, pixel_id, s, seed, max_bounces, background,
+            scene, o, d, pid, sid, seed, max_bounces, background,
             exact=exact, bvh=bvh, compact=compact, interpret=interpret,
-            nee=nee,
+            nee=nee, silhouette=silhouette,
         )
+        if chunk > 1:
+            c = c.reshape(chunk, npix, 3).sum(axis=0)
         return acc + c, None
 
-    samples = jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(spp_offset)
+    starts = (
+        jnp.arange(rounds, dtype=jnp.uint32) * jnp.uint32(chunk)
+        + jnp.uint32(spp_offset)
+    )
     acc, _ = jax.lax.scan(
-        round_body, jnp.zeros((pixel_id.shape[0], 3), jnp.float32), samples
+        round_body, jnp.zeros((npix, 3), jnp.float32), starts
     )
     return acc / jnp.float32(spp)
 
 
 @partial(
     jax.jit,
-    static_argnames=("spp", "max_bounces", "exact", "interpret", "nee"),
+    static_argnames=(
+        "spp", "max_bounces", "exact", "interpret", "nee", "silhouette"
+    ),
 )
 def render_image(
     scene: SceneArrays,
@@ -310,6 +430,7 @@ def render_image(
     compact=None,
     interpret: bool = False,
     nee: bool = False,
+    silhouette: bool = False,
 ) -> jax.Array:
     """Render the full image. Returns (height, width, 3) linear radiance."""
     w, h = camera.width, camera.height
@@ -327,5 +448,6 @@ def render_image(
         compact=compact,
         interpret=interpret,
         nee=nee,
+        silhouette=silhouette,
     )
     return img.reshape(h, w, 3)
