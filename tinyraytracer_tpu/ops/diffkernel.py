@@ -1,0 +1,1357 @@
+"""Fused differentiable render: forward + loss + hand-derived backward in
+ONE Pallas kernel launch.
+
+The modular autodiff path (ops/trace.py + jax.grad) is the flexible oracle,
+but its training throughput is bounded by XLA fusion-boundary traffic and
+per-bounce kernel launches (~43 ms/bounce fwd+bwd at R=360k measured on
+v5e). This module is the TPU-native answer for the north-star metric
+"forward+backward rays/sec" (BASELINE.md): the whole photometric-MSE
+training objective
+
+    L = mean((render_nee(scene) - target)^2)
+
+is evaluated AND differentiated w.r.t. every scene parameter inside one
+kernel: a tile of rays lives in VMEM through (a) the NEE forward that
+accumulates the image, (b) the locally-computed loss cotangent
+dL/d(pixel) = 2 (img - target) / (npix * 3), and (c) a reverse sweep that
+replays each sample's bounce chain (Python-unrolled, states held in VMEM)
+and applies hand-derived vector-Jacobian products, accumulating parameter
+gradients into small per-scene tables via one-hot MXU matmuls.
+
+Semantics match ops/trace.trace(nee=True, silhouette=True) — the training
+estimator: same pcg4d streams, emission-skip rule, quad-light NEE with the
+soft-shadow surrogate, sphere silhouette surrogate, and all four material
+scatter chains (lambertian.rs/metal.rs/dielectric.rs/light.rs). Discrete
+events (winner selection, shadow visibility, dielectric branch, light
+choice) are detached exactly as the modular path detaches them, so the
+gradients agree with jax.grad of render_loss (gated by
+tests/test_diffkernel.py against the oracle).
+
+Gradient targets: sph_center, sph_radius, quad_corner, quad_u, quad_v,
+mat_albedo, mat_fuzz, mat_ior, mat_emit, background.
+
+Reference lineage: this is the "GPU training kernel" the reference never
+had — its Metal stack (sampler/metal/*) stops at a debug-color forward
+(kernel.metal:57-60); here the complete differentiable objective runs on
+device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinyraytracer_tpu.models.camera import Camera
+from tinyraytracer_tpu.models.world import SceneArrays
+from tinyraytracer_tpu.ops.intersect_pallas import CompactScene, compact_scene
+from tinyraytracer_tpu.ops.megakernel import (
+    _camera_vector,
+    _normalize3,
+    _uniform4,
+)
+
+# Rays per tile. Smaller than the forward megakernel's 1024: the unrolled
+# replay keeps ~14 (1, TR) f32 values per bounce live in VMEM.
+TILE = 512
+
+_T_MIN = 1.0e-3
+_MISS = 3.0e38
+_TWO_PI = 6.283185307179586
+
+# Payload row indices (see _diff_payload).
+_P_ISQ = 0
+_P_C = 1        # 1..3 sphere center
+_P_NH = 4       # 4..6 quad unit normal
+_P_KIND = 7
+_P_ALB = 8      # 8..10
+_P_FUZZ = 11
+_P_IOR = 12
+_P_EMIT = 13    # 13..15
+_P_MAT = 16
+_P_RAD = 17
+_P_QC = 18      # 18..20 quad corner
+_P_QU = 21      # 21..23 quad u
+_P_QV = 24      # 24..26 quad v
+_P_ROWS = 32
+
+
+@dataclasses.dataclass
+class DiffScene:
+    """Host-prepared device tables for the fused differentiable kernel."""
+
+    cs: CompactScene
+    pay: jax.Array          # (32, NA) payload incl. raw winner geometry
+    sph_r: jax.Array        # (Ns, 1) signed radius of compacted spheres
+    quad_c: jax.Array       # (Nq, 3) raw corner
+    quad_u: jax.Array       # (Nq, 3)
+    quad_v: jax.Array       # (Nq, 3)
+    light_pay: jax.Array    # (16, NL): rows [corner xyz, u xyz, v xyz,
+                            #  emission rgb, 4 spare] of the quad lights
+    n_lights: int           # real light count (static)
+    n_mat: int              # material-table rows (static, padded to 8)
+    # host mappings back to SceneArrays rows
+    sph_rows: np.ndarray    # (ns_real,) global sphere rows
+    quad_rows: np.ndarray   # (nq_real,) global quad rows
+    light_quad_rows: np.ndarray  # (n_lights,) global quad rows of lights
+    light_mat_rows: np.ndarray   # (n_lights,) material rows of lights
+
+
+def build_diff_scene(scene: SceneArrays) -> DiffScene:
+    """Host-side lowering of a SceneArrays for the fused diff kernel."""
+    cs = compact_scene(scene)
+    ns, nq = cs.ns, cs.nq
+    na = ns + nq
+
+    s_rows = np.nonzero(np.asarray(scene.sph_valid))[0]
+    q_rows = np.nonzero(np.asarray(scene.quad_valid))[0]
+    sc = np.asarray(scene.sph_center, np.float32)
+    sr = np.asarray(scene.sph_radius, np.float32)
+    qc = np.asarray(scene.quad_corner, np.float32)
+    qu = np.asarray(scene.quad_u, np.float32)
+    qv = np.asarray(scene.quad_v, np.float32)
+    sph_mat = np.asarray(scene.sph_mat)
+    quad_mat = np.asarray(scene.quad_mat)
+    kinds = np.asarray(scene.mat_kind)
+    alb = np.asarray(scene.mat_albedo, np.float32)
+    fuzz = np.asarray(scene.mat_fuzz, np.float32)
+    ior = np.asarray(scene.mat_ior, np.float32)
+    emit = np.asarray(scene.mat_emit, np.float32)
+
+    pay = np.zeros((_P_ROWS, na), np.float32)
+    # sphere block
+    pay[_P_C:_P_C + 3, :len(s_rows)] = sc[s_rows].T
+    pay[_P_RAD, :len(s_rows)] = sr[s_rows]
+    # quad block
+    qsl = slice(ns, ns + len(q_rows))
+    pay[_P_ISQ, ns:] = 1.0
+    n_vec = np.cross(qu[q_rows], qv[q_rows])
+    n_len = np.maximum(np.linalg.norm(n_vec, axis=1, keepdims=True), 1e-30)
+    pay[_P_NH:_P_NH + 3, qsl] = (n_vec / n_len).T
+    pay[_P_QC:_P_QC + 3, qsl] = qc[q_rows].T
+    pay[_P_QU:_P_QU + 3, qsl] = qu[q_rows].T
+    pay[_P_QV:_P_QV + 3, qsl] = qv[q_rows].T
+    # material rows
+    mids = np.zeros((na,), np.int64)
+    mids[: len(s_rows)] = sph_mat[s_rows]
+    mids[ns:ns + len(q_rows)] = quad_mat[q_rows]
+    pay[_P_KIND] = kinds[mids]
+    pay[_P_ALB:_P_ALB + 3] = alb[mids].T
+    pay[_P_FUZZ] = fuzz[mids]
+    pay[_P_IOR] = ior[mids]
+    pay[_P_EMIT:_P_EMIT + 3] = emit[mids].T
+    pay[_P_MAT] = mids.astype(np.float32)
+    # padded (invalid) rows: material 0 but unreachable (inert geometry)
+
+    # quad lights (NEE targets), in quad storage order
+    from tinyraytracer_tpu.models import materials as mat
+
+    is_light = kinds[quad_mat[q_rows]] == mat.LIGHT
+    lq_rows = q_rows[is_light]
+    nl_real = len(lq_rows)
+    nl = max(8, ((nl_real + 7) // 8) * 8)
+    light_pay = np.zeros((16, nl), np.float32)
+    light_pay[0:3, :nl_real] = qc[lq_rows].T
+    light_pay[3:6, :nl_real] = qu[lq_rows].T
+    light_pay[6:9, :nl_real] = qv[lq_rows].T
+    light_pay[9:12, :nl_real] = emit[quad_mat[lq_rows]].T
+
+    nm = max(8, ((kinds.shape[0] + 7) // 8) * 8)
+
+    return DiffScene(
+        cs=cs,
+        pay=jnp.asarray(pay),
+        sph_r=jnp.asarray(
+            np.pad(sr[s_rows], (0, ns - len(s_rows))).reshape(ns, 1)
+        ),
+        quad_c=jnp.asarray(_pad_rows(qc[q_rows], nq, 1e30)),
+        quad_u=jnp.asarray(_pad_rows(qu[q_rows], nq, 0.0)),
+        quad_v=jnp.asarray(_pad_rows(qv[q_rows], nq, 0.0)),
+        light_pay=jnp.asarray(light_pay),
+        n_lights=nl_real,
+        n_mat=nm,
+        sph_rows=s_rows,
+        quad_rows=q_rows,
+        light_quad_rows=lq_rows,
+        light_mat_rows=np.asarray(quad_mat[lq_rows]),
+    )
+
+
+def _pad_rows(a: np.ndarray, n: int, fill: float) -> np.ndarray:
+    out = np.full((n, a.shape[1]), fill, np.float32)
+    out[: a.shape[0]] = a
+    return out
+
+
+def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
+                      nl: int, n_lights: int, nee: bool, sil: bool):
+    """Kernel: NEE forward image + local MSE cotangent + unrolled adjoint.
+
+    All per-ray values are (1, TR) f32 rows; per-sphere matrices are
+    (ns, TR) (sublanes x lanes, both dense). Discrete masks are carried as
+    f32 0/1 (Mosaic rejects bool loop carries).
+    """
+    na = ns + nq
+    nlf = float(n_lights)
+
+    def dot3(ax, ay, az, bx, by, bz):
+        return ax * bx + ay * by + az * bz
+
+    def cross3(ax, ay, az, bx, by, bz):
+        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def cl(a, b):
+        # contract lane axes: (ra, TR) x (rb, TR) -> (ra, rb)
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def kernel(cam_ref, ctl_ref, pid_ref, px_ref, py_ref, tgt_ref,
+               sphc_ref, sphr_ref, qc_ref, qu_ref, qv_ref, pay_ref, lpay_ref,
+               img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref):
+        tr = pid_ref.shape[1]
+        pid = pid_ref[0:1, :]
+        px = px_ref[0:1, :]
+        py = py_ref[0:1, :]
+
+        def cam(i):
+            return cam_ref[0, i]
+
+        pos_x, pos_y, pos_z = cam(0), cam(1), cam(2)
+        ul_x, ul_y, ul_z = cam(3), cam(4), cam(5)
+        hx, hy, hz = cam(6), cam(7), cam(8)
+        vx, vy, vz = cam(9), cam(10), cam(11)
+        dux, duy, duz = cam(12), cam(13), cam(14)
+        dvx, dvy, dvz = cam(15), cam(16), cam(17)
+        inv_w1, inv_h1 = cam(18), cam(19)
+        bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
+        npixf = cam(23)
+        seed = ctl_ref[0, 0].astype(jnp.uint32)
+        spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
+
+        # --- derived scene columns (rows = primitives) ------------------
+        scx = sphc_ref[:, 0:1]
+        scy = sphc_ref[:, 1:2]
+        scz = sphc_ref[:, 2:3]
+        sr = sphr_ref[:, 0:1]
+        sr2 = sr * sr
+        qcx, qcy, qcz = qc_ref[:, 0:1], qc_ref[:, 1:2], qc_ref[:, 2:3]
+        qux, quy, quz = qu_ref[:, 0:1], qu_ref[:, 1:2], qu_ref[:, 2:3]
+        qvx, qvy, qvz = qv_ref[:, 0:1], qv_ref[:, 1:2], qv_ref[:, 2:3]
+        qnx, qny, qnz = cross3(qux, quy, quz, qvx, qvy, qvz)
+        nn = jnp.maximum(dot3(qnx, qny, qnz, qnx, qny, qnz), 1e-30)
+        inv_nn = 1.0 / nn
+        qdp = dot3(qnx, qny, qnz, qcx, qcy, qcz)
+        avx, avy, avz = cross3(qvx, qvy, qvz, qnx, qny, qnz)
+        avx, avy, avz = avx * inv_nn, avy * inv_nn, avz * inv_nn
+        qca = dot3(avx, avy, avz, qcx, qcy, qcz)
+        bvx, bvy, bvz = cross3(qnx, qny, qnz, qux, quy, quz)
+        bvx, bvy, bvz = bvx * inv_nn, bvy * inv_nn, bvz * inv_nn
+        qcb = dot3(bvx, bvy, bvz, qcx, qcy, qcz)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (na, tr), 0)
+        srow_ids = jax.lax.broadcasted_iota(jnp.int32, (ns, tr), 0)
+        mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nm, tr), 0)
+        lrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nl, tr), 0)
+        sval = (scx < 1e29).astype(jnp.float32)          # (ns,1) real spheres
+
+        def closest_hit(ox, oy, oz, dx, dy, dz):
+            """-> best_t (1,TR), row i32 (1,TR), hit bool (1,TR)."""
+            ocx = ox - scx
+            ocy = oy - scy
+            ocz = oz - scz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c_term = ocx * ocx + ocy * ocy + ocz * ocz - sr2
+            disc = half_b * half_b - c_term
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -half_b - sq
+            t1 = -half_b + sq
+            ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
+                           jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+            ts = jnp.where(disc >= 0.0, ts, _MISS)
+
+            den = qnx * dx + qny * dy + qnz * dz
+            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+            tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
+            al = (avx * ox + avy * oy + avz * oz) + tq * (
+                avx * dx + avy * dy + avz * dz) - qca
+            be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
+                bvx * dx + bvy * dy + bvz * dz) - qcb
+            ok = ((tq >= _T_MIN) & (tq < _MISS)
+                  & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
+            tq = jnp.where(ok, tq, _MISS)
+
+            t_all = jnp.concatenate([ts, tq], axis=0)
+            best_t = jnp.min(t_all, axis=0, keepdims=True)
+            row = jnp.min(
+                jnp.where(t_all == best_t, row_ids, na), axis=0, keepdims=True
+            )
+            hit = best_t < _MISS
+            return best_t, jnp.minimum(row, na - 1), hit
+
+        def raygen(s):
+            sample_id = spp_offset + s.astype(jnp.uint32)
+            r1, r2_, r3, r4 = _uniform4(pid, sample_id, jnp.uint32(0), seed)
+            u = (px + r1) * inv_w1
+            v = (py + r2_) * inv_h1
+            rad = jnp.sqrt(r3)
+            th = _TWO_PI * r4
+            ox = pos_x + rad * jnp.cos(th) * dux + rad * jnp.sin(th) * dvx
+            oy = pos_y + rad * jnp.cos(th) * duy + rad * jnp.sin(th) * dvy
+            oz = pos_z + rad * jnp.cos(th) * duz + rad * jnp.sin(th) * dvz
+            tx = ul_x + u * hx - v * vx - ox
+            ty = ul_y + u * hy - v * vy - oy
+            tz = ul_z + u * hz - v * vz - oz
+            dx, dy, dz = _normalize3(tx, ty, tz)
+            return ox, oy, oz, dx, dy, dz, sample_id
+
+        # ---------------------------------------------------------------
+        # shade: all per-bounce intermediates from (state, winner, vis).
+        # Used by the forward phases (to advance state / accumulate color)
+        # and by the adjoint (same values, then reversed). Everything is
+        # recomputed rather than stored: VPU FLOPs are cheaper than VMEM.
+        # ---------------------------------------------------------------
+        def shade(sample_id, b_u32, st, best_t, rowf):
+            (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f, pd_f) = st
+            g = {}
+            onehot = (row_ids == rowf.astype(jnp.int32)).astype(jnp.float32)
+            payw = mm(pay_ref[:, :], onehot)            # (32, TR)
+
+            def pw(i):
+                return payw[i:i + 1, :]
+
+            isq = pw(_P_ISQ)
+            wcx, wcy, wcz = pw(_P_C), pw(_P_C + 1), pw(_P_C + 2)
+            nhx, nhy, nhz = pw(_P_NH), pw(_P_NH + 1), pw(_P_NH + 2)
+            kind = pw(_P_KIND)
+            war, wag, wab = pw(_P_ALB), pw(_P_ALB + 1), pw(_P_ALB + 2)
+            wfuzz = pw(_P_FUZZ)
+            wior = pw(_P_IOR)
+            wer, weg, web = pw(_P_EMIT), pw(_P_EMIT + 1), pw(_P_EMIT + 2)
+            wmat = pw(_P_MAT)
+            wrad = pw(_P_RAD)
+            wqcx, wqcy, wqcz = pw(_P_QC), pw(_P_QC + 1), pw(_P_QC + 2)
+            wqux, wquy, wquz = pw(_P_QU), pw(_P_QU + 1), pw(_P_QU + 2)
+            wqvx, wqvy, wqvz = pw(_P_QV), pw(_P_QV + 1), pw(_P_QV + 2)
+
+            hit = best_t < _MISS
+            alive = alive_f > 0.5
+            hit_live = alive & hit
+            miss_live = alive & ~hit
+            hlf = hit_live.astype(jnp.float32)
+            mlf = miss_live.astype(jnp.float32)
+
+            # differentiable winner t (prim_t semantics)
+            ocx = ox - wcx
+            ocy = oy - wcy
+            ocz = oz - wcz
+            hb = dot3(ocx, ocy, ocz, dx, dy, dz)
+            cterm = dot3(ocx, ocy, ocz, ocx, ocy, ocz) - wrad * wrad
+            disc = hb * hb - cterm
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            sq_safe = jnp.maximum(sq, 1e-8)
+            t0 = -hb - sq
+            t1 = -hb + sq
+            use0 = (t0 >= _T_MIN) & (t0 < _MISS)
+            t_sph = jnp.where(use0, t0, t1)
+            # quad plane
+            wnx, wny, wnz = cross3(wqux, wquy, wquz, wqvx, wqvy, wqvz)
+            dden = dot3(wnx, wny, wnz, dx, dy, dz)
+            dden = jnp.where(jnp.abs(dden) < 1e-12, 1e-12, dden)
+            num = dot3(wnx, wny, wnz, wqcx - ox, wqcy - oy, wqcz - oz)
+            t_quad = num / dden
+            quad_w = isq > 0.5
+            t_diff = jnp.where(quad_w, t_quad, t_sph)
+            t = jnp.where(hit, t_diff, 1.0)
+
+            p_x = ox + t * dx
+            p_y = oy + t * dy
+            p_z = oz + t * dz
+
+            # outward normal + face flip
+            mx_ = p_x - wcx
+            my_ = p_y - wcy
+            mz_ = p_z - wcz
+            rho = jnp.sqrt(jnp.maximum(dot3(mx_, my_, mz_, mx_, my_, mz_),
+                                       1e-24))
+            sx_o = mx_ / rho
+            sy_o = my_ / rho
+            sz_o = mz_ / rho
+            qlen = jnp.sqrt(jnp.maximum(
+                dot3(wnx, wny, wnz, wnx, wny, wnz), 1e-24))
+            qx_o = wnx / qlen
+            qy_o = wny / qlen
+            qz_o = wnz / qlen
+            n_ox = jnp.where(quad_w, qx_o, sx_o)
+            n_oy = jnp.where(quad_w, qy_o, sy_o)
+            n_oz = jnp.where(quad_w, qz_o, sz_o)
+            front = dot3(dx, dy, dz, n_ox, n_oy, n_oz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx_ = n_ox * sgn
+            ny_ = n_oy * sgn
+            nz_ = n_oz * sgn
+
+            is_lam = kind < 0.5
+            is_met = (kind >= 0.5) & (kind < 1.5)
+            is_die = (kind >= 1.5) & (kind < 2.5)
+            is_light = kind >= 2.5
+
+            # emission gate (NEE skip rule: trace.py)
+            if nee:
+                nee_sampled = quad_w & is_light
+                gate_e = hlf * (1.0 - pd_f * nee_sampled.astype(jnp.float32))
+            else:
+                gate_e = hlf
+
+            # --- NEE sample geometry ---------------------------------
+            if nee and n_lights > 0:
+                nu1, nu2, nu3, _ = _uniform4(
+                    pid, sample_id, jnp.uint32(0x40000000) + b_u32, seed
+                )
+                kpick = jnp.clip((nu3 * nlf).astype(jnp.int32), 0,
+                                 n_lights - 1)
+                lone = (lrow_ids == kpick).astype(jnp.float32)  # (nl, TR)
+                lsel = mm(lpay_ref[:, :], lone)                 # (16, TR)
+
+                def lw(i):
+                    return lsel[i:i + 1, :]
+
+                lcx, lcy, lcz = lw(0), lw(1), lw(2)
+                lux, luy, luz = lw(3), lw(4), lw(5)
+                lvx, lvy, lvz = lw(6), lw(7), lw(8)
+                ler, leg, leb = lw(9), lw(10), lw(11)
+                yx = lcx + nu1 * lux + nu2 * lvx
+                yy = lcy + nu1 * luy + nu2 * lvy
+                yz = lcz + nu1 * luz + nu2 * lvz
+                tlx = yx - p_x
+                tly = yy - p_y
+                tlz = yz - p_z
+                r2l = dot3(tlx, tly, tlz, tlx, tly, tlz)
+                r2g = jnp.maximum(r2l, 1e-12)
+                dist = jnp.sqrt(r2g)
+                idist = 1.0 / dist
+                wlx = tlx * idist
+                wly = tly * idist
+                wlz = tlz * idist
+                lnx, lny, lnz = cross3(lux, luy, luz, lvx, lvy, lvz)
+                area = jnp.sqrt(jnp.maximum(
+                    dot3(lnx, lny, lnz, lnx, lny, lnz), 1e-24))
+                ainv = 1.0 / area
+                lnux = lnx * ainv
+                lnuy = lny * ainv
+                lnuz = lnz * ainv
+                cosx = dot3(nx_, ny_, nz_, wlx, wly, wlz)
+                cy_raw = dot3(lnux, lnuy, lnuz, wlx, wly, wlz)
+                cosy = jnp.abs(cy_raw)
+                graw = cosx * cosy * area * nlf / r2g
+                geom = jnp.minimum(graw, 16.0 * jnp.pi)
+                activef = (hit_live & is_lam & (cosx > 0.0)).astype(
+                    jnp.float32)
+
+                # soft-shadow (all spheres, (ns, TR)); value not needed in
+                # the forward (ratio == 1): computed only for the adjoint.
+                g.update(nee_vals=dict(
+                    nu1=nu1, nu2=nu2, kpick=kpick, lone=lone,
+                    lcx=lcx, lcy=lcy, lcz=lcz, lux=lux, luy=luy, luz=luz,
+                    lvx=lvx, lvy=lvy, lvz=lvz, ler=ler, leg=leg, leb=leb,
+                    yx=yx, yy=yy, yz=yz, tlx=tlx, tly=tly, tlz=tlz,
+                    r2l=r2l, r2g=r2g, dist=dist, idist=idist,
+                    wlx=wlx, wly=wly, wlz=wlz,
+                    lnx=lnx, lny=lny, lnz=lnz, area=area, ainv=ainv,
+                    lnux=lnux, lnuy=lnuy, lnuz=lnuz,
+                    cosx=cosx, cy_raw=cy_raw, cosy=cosy,
+                    graw=graw, geom=geom, activef=activef,
+                ))
+            # --- scatter ---------------------------------------------
+            su1, su2, su3, su4 = _uniform4(
+                pid, sample_id, jnp.uint32(1) + b_u32, seed
+            )
+            theta = _TWO_PI * su1
+            cphi = 1.0 - 2.0 * su2
+            sphi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cphi * cphi))
+            rr = jnp.exp(jnp.log(jnp.maximum(su3, 1e-30)) * (1.0 / 3.0))
+            bx = rr * sphi * jnp.cos(theta)
+            by = rr * sphi * jnp.sin(theta)
+            bz = rr * cphi
+            bnorm = jax.lax.rsqrt(
+                jnp.maximum(bx * bx + by * by + bz * bz, 1e-24))
+            ux_ = bx * bnorm
+            uy_ = by * bnorm
+            uz_ = bz * bnorm
+
+            # lambertian
+            lx = nx_ + ux_
+            ly = ny_ + uy_
+            lz = nz_ + uz_
+            degen = (jnp.abs(lx) < 1e-7) & (jnp.abs(ly) < 1e-7) & (
+                jnp.abs(lz) < 1e-7)
+            lamx = jnp.where(degen, nx_, lx)
+            lamy = jnp.where(degen, ny_, ly)
+            lamz = jnp.where(degen, nz_, lz)
+            # metal
+            sdn = dot3(dx, dy, dz, nx_, ny_, nz_)
+            rfx = dx - 2.0 * sdn * nx_
+            rfy = dy - 2.0 * sdn * ny_
+            rfz = dz - 2.0 * sdn * nz_
+            mex = rfx + wfuzz * bx
+            mey = rfy + wfuzz * by
+            mez = rfz + wfuzz * bz
+            # dielectric
+            eta = jnp.where(front, 1.0 / jnp.maximum(wior, 1e-6), wior)
+            mcos_raw = -(nx_ * dx + ny_ * dy + nz_ * dz)
+            cos_clip = mcos_raw < 1.0
+            cosv = jnp.minimum(mcos_raw, 1.0)
+            sinv = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosv * cosv))
+            tir = eta * sinv > 1.0
+            sr0 = (1.0 - eta) / (1.0 + eta)
+            r0 = sr0 * sr0
+            reflp = r0 + (1.0 - r0) * (1.0 - cosv) ** 5
+            cref = tir | (reflp > su4)
+            ppx = eta * (dx + nx_ * cosv)
+            ppy = eta * (dy + ny_ * cosv)
+            ppz = eta * (dz + nz_ * cosv)
+            plen2 = dot3(ppx, ppy, ppz, ppx, ppy, ppz)
+            zk = 1.0 - plen2
+            kk = jnp.maximum(jnp.abs(zk), 1e-12)
+            par = -jnp.sqrt(kk)
+            fx = ppx + par * nx_
+            fy = ppy + par * ny_
+            fz = ppz + par * nz_
+            dnx_die = jnp.where(cref, rfx, fx)
+            dny_die = jnp.where(cref, rfy, fy)
+            dnz_die = jnp.where(cref, rfz, fz)
+
+            dnx = jnp.where(is_lam, lamx, jnp.where(is_met, mex, dnx_die))
+            dny = jnp.where(is_lam, lamy, jnp.where(is_met, mey, dny_die))
+            dnz = jnp.where(is_lam, lamz, jnp.where(is_met, mez, dnz_die))
+            invl = jax.lax.rsqrt(
+                jnp.maximum(dot3(dnx, dny, dnz, dnx, dny, dnz), 1e-24))
+            sdx = dnx * invl
+            sdy = dny * invl
+            sdz = dnz * invl
+
+            scat = hit_live & ~is_light
+            scf = scat.astype(jnp.float32)
+            g.update(
+                onehot=onehot, isq=isq, quad_w=quad_w, hit=hit,
+                hit_live=hit_live, miss_live=miss_live, hlf=hlf, mlf=mlf,
+                gate_e=gate_e, scat=scat, scf=scf,
+                wcx=wcx, wcy=wcy, wcz=wcz, wrad=wrad,
+                wqcx=wqcx, wqcy=wqcy, wqcz=wqcz,
+                wqux=wqux, wquy=wquy, wquz=wquz,
+                wqvx=wqvx, wqvy=wqvy, wqvz=wqvz,
+                wnx=wnx, wny=wny, wnz=wnz,
+                war=war, wag=wag, wab=wab, wfuzz=wfuzz, wior=wior,
+                wer=wer, weg=weg, web=web, wmat=wmat, kind=kind,
+                is_lam=is_lam, is_met=is_met, is_die=is_die,
+                ocx=ocx, ocy=ocy, ocz=ocz,
+                hb=hb, sq=sq, sq_safe=sq_safe, use0=use0, disc=disc,
+                dden=dden, num=num, t_sph=t_sph, t_quad=t_quad,
+                t_diff=t_diff, t=t, p_x=p_x, p_y=p_y, p_z=p_z,
+                mx_=mx_, my_=my_, mz_=mz_, rho=rho,
+                sx_o=sx_o, sy_o=sy_o, sz_o=sz_o,
+                qx_o=qx_o, qy_o=qy_o, qz_o=qz_o, qlen=qlen,
+                n_ox=n_ox, n_oy=n_oy, n_oz=n_oz, front=front, sgn=sgn,
+                nx_=nx_, ny_=ny_, nz_=nz_,
+                bx=bx, by=by, bz=bz, ux_=ux_, uy_=uy_, uz_=uz_,
+                degen=degen, lamx=lamx, lamy=lamy, lamz=lamz,
+                sdn=sdn, rfx=rfx, rfy=rfy, rfz=rfz,
+                eta=eta, cosv=cosv, cos_clip=cos_clip, cref=cref,
+                ppx=ppx, ppy=ppy, ppz=ppz, plen2=plen2, zk=zk, kk=kk,
+                par=par, fx=fx, fy=fy, fz=fz,
+                dnx=dnx, dny=dny, dnz=dnz, invl=invl,
+                sdx=sdx, sdy=sdy, sdz=sdz,
+            )
+            return g
+
+        def advance(g, st):
+            """Post-scatter state (floats)."""
+            (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f, pd_f) = st
+            scf = g["scf"]
+            inv = 1.0 - scf
+            return (
+                inv * ox + scf * g["p_x"],
+                inv * oy + scf * g["p_y"],
+                inv * oz + scf * g["p_z"],
+                inv * dx + scf * g["sdx"],
+                inv * dy + scf * g["sdy"],
+                inv * dz + scf * g["sdz"],
+                tr_ * (inv + scf * g["war"]),
+                tg_ * (inv + scf * g["wag"]),
+                tb_ * (inv + scf * g["wab"]),
+                scf,
+                scf * g["is_lam"].astype(jnp.float32),
+            )
+
+        def color_adds(g, st, vis):
+            """(dcol_r, dcol_g, dcol_b) of this bounce (forward value)."""
+            tr_, tg_, tb_ = st[6], st[7], st[8]
+            mlf, gate_e = g["mlf"], g["gate_e"]
+            cr = mlf * tr_ * bg_r + gate_e * tr_ * g["wer"]
+            cg = mlf * tg_ * bg_g + gate_e * tg_ * g["weg"]
+            cb = mlf * tb_ * bg_b + gate_e * tb_ * g["web"]
+            if nee and n_lights > 0:
+                nv = g["nee_vals"]
+                gate_n = nv["activef"] * vis
+                s = gate_n * nv["geom"] * (1.0 / jnp.pi)
+                cr = cr + s * tr_ * g["war"] * nv["ler"]
+                cg = cg + s * tg_ * g["wag"] * nv["leg"]
+                cb = cb + s * tb_ * g["wab"] * nv["leb"]
+            return cr, cg, cb
+
+        def shadow_vis(g):
+            """Detached hard shadow visibility (1,TR) f32 (1 = lit)."""
+            if not (nee and n_lights > 0):
+                return jnp.ones_like(g["hlf"])
+            nv = g["nee_vals"]
+            occ_t, _, _ = closest_hit(
+                g["p_x"], g["p_y"], g["p_z"],
+                nv["wlx"], nv["wly"], nv["wlz"],
+            )
+            return (~(occ_t < nv["dist"] * (1.0 - 1e-3))).astype(jnp.float32)
+
+        def softshadow_fwd(g):
+            """Soft-visibility intermediates, (ns, TR) oriented."""
+            nv = g["nee_vals"]
+            px_, py_, pz_ = g["p_x"], g["p_y"], g["p_z"]
+            wlx, wly, wlz = nv["wlx"], nv["wly"], nv["wlz"]
+            dist = nv["dist"]
+            r_abs = jnp.abs(sr)
+            cxx = scx - px_
+            cxy = scy - py_
+            cxz = scz - pz_
+            s_along = cxx * wlx + cxy * wly + cxz * wlz
+            s_cl = jnp.clip(s_along, 0.0, dist)
+            ex = px_ + s_cl * wlx - scx
+            ey = py_ + s_cl * wly - scy
+            ez = pz_ + s_cl * wlz - scz
+            dsep = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12))
+            wsoft = 0.25 * r_abs + 1e-6
+            zs = (dsep - r_abs) / wsoft
+            vs_raw = jax.nn.sigmoid(zs)
+            vs = jnp.where(sval > 0.5, vs_raw, 1.0)
+            v = jnp.prod(vs, axis=0, keepdims=True)
+            return dict(cxx=cxx, cxy=cxy, cxz=cxz, s_along=s_along,
+                        s_cl=s_cl, ex=ex, ey=ey, ez=ez, dsep=dsep,
+                        wsoft=wsoft, vs_raw=vs_raw, vs=vs, v=v,
+                        r_abs=r_abs, dist=dist)
+
+        def softshadow_adj(ss, cv, g):
+            """VJP of v_soft: cv (1,TR) -> sphere grads (ns,TR)x4 and
+            (cpx, cpy, cpz, cwlx, cwly, cwlz, cdist) (1,TR)."""
+            nv = g["nee_vals"]
+            wlx, wly, wlz = nv["wlx"], nv["wly"], nv["wlz"]
+            vs_c = jnp.maximum(ss["vs"], 1e-6)
+            cvs = cv * ss["v"] / vs_c                       # (ns,TR)
+            cvs = jnp.where(sval > 0.5, cvs, 0.0)
+            s_sig = ss["vs_raw"] * (1.0 - ss["vs_raw"])
+            czs = cvs * s_sig
+            w2 = ss["wsoft"] * ss["wsoft"]
+            csr_abs = czs * (-(ss["wsoft"]) - (ss["dsep"] - ss["r_abs"]) * 0.25) / w2
+            cdsep = czs / ss["wsoft"]
+            inv_dsep = 1.0 / ss["dsep"]
+            cex = cdsep * ss["ex"] * inv_dsep
+            cey = cdsep * ss["ey"] * inv_dsep
+            cez = cdsep * ss["ez"] * inv_dsep
+            # e = p + s_cl*w - c
+            cscx = -cex
+            cscy = -cey
+            cscz = -cez
+            cpx = jnp.sum(cex, axis=0, keepdims=True)
+            cpy = jnp.sum(cey, axis=0, keepdims=True)
+            cpz = jnp.sum(cez, axis=0, keepdims=True)
+            cs_cl = cex * wlx + cey * wly + cez * wlz
+            cwlx_m = cex * ss["s_cl"]
+            cwly_m = cey * ss["s_cl"]
+            cwlz_m = cez * ss["s_cl"]
+            # s_cl = clip(s_along, 0, dist)
+            in_rng = ((ss["s_along"] > 0.0) & (ss["s_along"] < ss["dist"]))
+            cs_along = jnp.where(in_rng, cs_cl, 0.0)
+            cdist = jnp.sum(
+                jnp.where(ss["s_along"] >= ss["dist"], cs_cl, 0.0),
+                axis=0, keepdims=True,
+            )
+            # s_along = (c - p) . w
+            cscx = cscx + cs_along * wlx
+            cscy = cscy + cs_along * wly
+            cscz = cscz + cs_along * wlz
+            cpx = cpx - jnp.sum(cs_along * wlx, axis=0, keepdims=True)
+            cpy = cpy - jnp.sum(cs_along * wly, axis=0, keepdims=True)
+            cpz = cpz - jnp.sum(cs_along * wlz, axis=0, keepdims=True)
+            cwlx_m = cwlx_m + cs_along * ss["cxx"]
+            cwly_m = cwly_m + cs_along * ss["cxy"]
+            cwlz_m = cwlz_m + cs_along * ss["cxz"]
+            cwlx = jnp.sum(cwlx_m, axis=0, keepdims=True)
+            cwly = jnp.sum(cwly_m, axis=0, keepdims=True)
+            cwlz = jnp.sum(cwlz_m, axis=0, keepdims=True)
+            csr = csr_abs * jnp.sign(sr)
+            return (cscx, cscy, cscz, csr, cpx, cpy, cpz,
+                    cwlx, cwly, cwlz, cdist)
+
+        def silhouette_adj(st, best_t, rowf, cF):
+            """VJP of the silhouette factor wrt sphere params.
+
+            cF (1,TR) is the cotangent of the factor (forward value 1);
+            o, d, t are detached. Returns (ns,TR) grads (cx, cy, cz, r)."""
+            (ox, oy, oz, dx, dy, dz, _tr, _tg, _tb, alive_f, _pd) = st
+            hit = best_t < _MISS
+            t_lim = jnp.where(hit, best_t, 3.0e30)
+            ws = ((rowf.astype(jnp.int32) == srow_ids)
+                  & hit).astype(jnp.float32)               # (ns,TR)
+            r_abs = jnp.abs(sr)
+            cox = scx - ox
+            coy = scy - oy
+            coz = scz - oz
+            s_along = cox * dx + coy * dy + coz * dz
+            s_hit = jnp.maximum(s_along, _T_MIN)
+            s_blk = jnp.clip(s_along, _T_MIN, t_lim)
+            s_eff = jnp.where(ws > 0.5, s_hit, s_blk)
+            ex = ox + s_eff * dx - scx
+            ey = oy + s_eff * dy - scy
+            ez = oz + s_eff * dz - scz
+            dmin = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12))
+            wsil = 0.05 * r_abs + 1e-5
+            z = (r_abs - dmin) / wsil
+            cov = jax.nn.sigmoid(z)
+            live = (sval > 0.5) & (alive_f > 0.5)
+            p = jnp.where(ws > 0.5, cov, 1.0 - cov)
+            p = jnp.where(live, p, 1.0)
+            pc = jnp.maximum(p, 1e-3)
+            cp = cF / pc
+            sign = jnp.where(ws > 0.5, 1.0, -1.0)
+            ccov = jnp.where(live, cp * sign, 0.0)
+            cz = ccov * cov * (1.0 - cov)
+            w2 = wsil * wsil
+            cr_abs = cz * (wsil - (r_abs - dmin) * 0.05) / w2
+            cdmin = -cz / wsil
+            inv_dmin = 1.0 / dmin
+            cex = cdmin * ex * inv_dmin
+            cey = cdmin * ey * inv_dmin
+            cez = cdmin * ez * inv_dmin
+            cscx = -cex
+            cscy = -cey
+            cscz = -cez
+            cs_eff = cex * dx + cey * dy + cez * dz
+            m_hit = (s_along > _T_MIN).astype(jnp.float32)
+            m_blk = ((s_along > _T_MIN) & (s_along < t_lim)).astype(jnp.float32)
+            cs_along = jnp.where(ws > 0.5, m_hit, m_blk) * cs_eff
+            cscx = cscx + cs_along * dx
+            cscy = cscy + cs_along * dy
+            cscz = cscz + cs_along * dz
+            csr = cr_abs * jnp.sign(sr)
+            return cscx, cscy, cscz, csr
+
+        ones_1tr = jnp.ones((1, TILE), jnp.float32)
+
+        def bounce_adj(sample_id, b_py, st, best_t, rowf, vis,
+                       cin, chat):
+            """Reverse one bounce. `st` is the state BEFORE the bounce;
+            `cin` = (co x3, cd x3, cT x3) cotangents of the state AFTER;
+            `chat` = (3,) per-sample color cotangent rows. Returns
+            (cout, grad adds)."""
+            b_u32 = jnp.uint32(b_py)
+            g = shade(sample_id, b_u32, st, best_t, rowf)
+            (ox, oy, oz, dx, dy, dz, T0r, T0g, T0b, alive_f, pd_f) = st
+            (cox_in, coy_in, coz_in, cdx_in, cdy_in, cdz_in,
+             cTr_in, cTg_in, cTb_in) = cin
+            chr_, chg_, chb_ = chat
+            scf = g["scf"]
+            inv_s = 1.0 - scf
+            hlf, mlf, gate_e = g["hlf"], g["mlf"], g["gate_e"]
+            nx_, ny_, nz_ = g["nx_"], g["ny_"], g["nz_"]
+            T1r, T1g, T1b = T0r, T0g, T0b   # silhouette factor == 1 fwd
+
+            # ---- A5 scatter -------------------------------------------
+            cT1r = cTr_in * (inv_s + scf * g["war"])
+            cT1g = cTg_in * (inv_s + scf * g["wag"])
+            cT1b = cTb_in * (inv_s + scf * g["wab"])
+            calb_r = scf * cTr_in * T1r
+            calb_g = scf * cTg_in * T1g
+            calb_b = scf * cTb_in * T1b
+            cpx = scf * cox_in
+            cpy = scf * coy_in
+            cpz = scf * coz_in
+            cox = inv_s * cox_in
+            coy = inv_s * coy_in
+            coz = inv_s * coz_in
+            csdx = scf * cdx_in
+            csdy = scf * cdy_in
+            csdz = scf * cdz_in
+            cdx = inv_s * cdx_in
+            cdy = inv_s * cdy_in
+            cdz = inv_s * cdz_in
+            # sd = dn * invl (normalize VJP)
+            sdx, sdy, sdz, invl = g["sdx"], g["sdy"], g["sdz"], g["invl"]
+            dot_c = sdx * csdx + sdy * csdy + sdz * csdz
+            cdnx = invl * (csdx - sdx * dot_c)
+            cdny = invl * (csdy - sdy * dot_c)
+            cdnz = invl * (csdz - sdz * dot_c)
+            lamf = g["is_lam"].astype(jnp.float32)
+            metf = g["is_met"].astype(jnp.float32)
+            dief = g["is_die"].astype(jnp.float32)
+            cnx = lamf * cdnx
+            cny = lamf * cdny
+            cnz = lamf * cdnz
+            creflx = metf * cdnx
+            crefly = metf * cdny
+            creflz = metf * cdnz
+            cfuzz = metf * (g["bx"] * cdnx + g["by"] * cdny + g["bz"] * cdnz)
+            creff = g["cref"].astype(jnp.float32)
+            creflx = creflx + dief * creff * cdnx
+            crefly = crefly + dief * creff * cdny
+            creflz = creflz + dief * creff * cdnz
+            refr_f = dief * (1.0 - creff)
+            cfx = refr_f * cdnx
+            cfy = refr_f * cdny
+            cfz = refr_f * cdnz
+            cppx = cfx
+            cppy = cfy
+            cppz = cfz
+            cpar = nx_ * cfx + ny_ * cfy + nz_ * cfz
+            cnx = cnx + g["par"] * cfx
+            cny = cny + g["par"] * cfy
+            cnz = cnz + g["par"] * cfz
+            kk, zk = g["kk"], g["zk"]
+            live_k = (jnp.abs(zk) > 1e-12).astype(jnp.float32)
+            cpl = cpar * 0.5 * jnp.sign(zk) * live_k / jnp.sqrt(kk)
+            cppx = cppx + 2.0 * cpl * g["ppx"]
+            cppy = cppy + 2.0 * cpl * g["ppy"]
+            cppz = cppz + 2.0 * cpl * g["ppz"]
+            eta, cosv = g["eta"], g["cosv"]
+            ceta = ((dx + nx_ * cosv) * cppx + (dy + ny_ * cosv) * cppy
+                    + (dz + nz_ * cosv) * cppz)
+            cdx = cdx + eta * cppx
+            cdy = cdy + eta * cppy
+            cdz = cdz + eta * cppz
+            cnx = cnx + eta * cosv * cppx
+            cny = cny + eta * cosv * cppy
+            cnz = cnz + eta * cosv * cppz
+            ccos = eta * (nx_ * cppx + ny_ * cppy + nz_ * cppz)
+            clipf = g["cos_clip"].astype(jnp.float32)
+            cnd = -ccos * clipf
+            cnx = cnx + cnd * dx
+            cny = cny + cnd * dy
+            cnz = cnz + cnd * dz
+            cdx = cdx + cnd * nx_
+            cdy = cdy + cnd * ny_
+            cdz = cdz + cnd * nz_
+            frontf = g["front"].astype(jnp.float32)
+            iors = jnp.maximum(g["wior"], 1e-6)
+            cior = ceta * (frontf * (-1.0 / (iors * iors)) + (1.0 - frontf))
+            sdn = g["sdn"]
+            ndotcr = nx_ * creflx + ny_ * crefly + nz_ * creflz
+            cdx = cdx + creflx - 2.0 * ndotcr * nx_
+            cdy = cdy + crefly - 2.0 * ndotcr * ny_
+            cdz = cdz + creflz - 2.0 * ndotcr * nz_
+            cnx = cnx - 2.0 * sdn * creflx - 2.0 * ndotcr * dx
+            cny = cny - 2.0 * sdn * crefly - 2.0 * ndotcr * dy
+            cnz = cnz - 2.0 * sdn * creflz - 2.0 * ndotcr * dz
+
+            # ---- A4 NEE -----------------------------------------------
+            zr = jnp.zeros_like(hlf)
+            cscx_all = jnp.zeros((ns, TILE), jnp.float32)
+            cscy_all = jnp.zeros((ns, TILE), jnp.float32)
+            cscz_all = jnp.zeros((ns, TILE), jnp.float32)
+            csr_all = jnp.zeros((ns, TILE), jnp.float32)
+            Gl = None
+            lone = None
+            if nee and n_lights > 0:
+                nv = g["nee_vals"]
+                lone = nv["lone"]
+                gate_n = nv["activef"] * vis
+                inv_pi = 1.0 / jnp.pi
+                geomf = nv["geom"]
+                ler, leg, leb = nv["ler"], nv["leg"], nv["leb"]
+                war, wag, wab = g["war"], g["wag"], g["wab"]
+                s_base = gate_n * inv_pi
+                cT1r = cT1r + s_base * geomf * war * ler * chr_
+                cT1g = cT1g + s_base * geomf * wag * leg * chg_
+                cT1b = cT1b + s_base * geomf * wab * leb * chb_
+                calb_r = calb_r + s_base * geomf * T1r * ler * chr_
+                calb_g = calb_g + s_base * geomf * T1g * leg * chg_
+                calb_b = calb_b + s_base * geomf * T1b * leb * chb_
+                cler = s_base * geomf * T1r * war * chr_
+                cleg = s_base * geomf * T1g * wag * chg_
+                cleb = s_base * geomf * T1b * wab * chb_
+                ghat = s_base * (chr_ * T1r * war * ler
+                                 + chg_ * T1g * wag * leg
+                                 + chb_ * T1b * wab * leb)
+                cgeom = ghat
+                cvr = ghat * geomf
+                uncl = (nv["graw"] < 16.0 * jnp.pi).astype(jnp.float32)
+                cgraw = cgeom * uncl
+                # soft-shadow ratio
+                ss = softshadow_fwd(g)
+                vcl = jnp.maximum(ss["v"], 1e-3)
+                cv = cvr / vcl
+                (sscx, sscy, sscz, ssr, cpx_s, cpy_s, cpz_s,
+                 cwlx, cwly, cwlz, cdist) = softshadow_adj(ss, cv, g)
+                cscx_all = cscx_all + sscx
+                cscy_all = cscy_all + sscy
+                cscz_all = cscz_all + sscz
+                csr_all = csr_all + ssr
+                cpx = cpx + cpx_s
+                cpy = cpy + cpy_s
+                cpz = cpz + cpz_s
+                # graw = cosx*cosy*area*NL/r2g
+                r2g = nv["r2g"]
+                area = nv["area"]
+                f_cx = cgraw * nv["cosy"] * area * nlf / r2g
+                f_cy = cgraw * nv["cosx"] * area * nlf / r2g
+                carea = cgraw * nv["cosx"] * nv["cosy"] * nlf / r2g
+                live_r2 = (nv["r2l"] > 1e-12).astype(jnp.float32)
+                cr2 = -cgraw * nv["graw"] / r2g * live_r2
+                cnx = cnx + f_cx * nv["wlx"]
+                cny = cny + f_cx * nv["wly"]
+                cnz = cnz + f_cx * nv["wlz"]
+                cwlx = cwlx + f_cx * nx_
+                cwly = cwly + f_cx * ny_
+                cwlz = cwlz + f_cx * nz_
+                sgn_y = jnp.sign(nv["cy_raw"])
+                ccy = f_cy * sgn_y
+                clnux = ccy * nv["wlx"]
+                clnuy = ccy * nv["wly"]
+                clnuz = ccy * nv["wlz"]
+                cwlx = cwlx + ccy * nv["lnux"]
+                cwly = cwly + ccy * nv["lnuy"]
+                cwlz = cwlz + ccy * nv["lnuz"]
+                ainv = nv["ainv"]
+                clnx = clnux * ainv
+                clny = clnuy * ainv
+                clnz = clnuz * ainv
+                cainv = (nv["lnx"] * clnux + nv["lny"] * clnuy
+                         + nv["lnz"] * clnuz)
+                carea = carea - ainv * ainv * cainv
+                clnx = clnx + carea * nv["lnux"]
+                clny = clny + carea * nv["lnuy"]
+                clnz = clnz + carea * nv["lnuz"]
+                # ln = lu x lv
+                clux, cluy, cluz = cross3(
+                    nv["lvx"], nv["lvy"], nv["lvz"], clnx, clny, clnz)
+                clvx, clvy, clvz = cross3(
+                    clnx, clny, clnz, nv["lux"], nv["luy"], nv["luz"])
+                # w = tl * idist ; dist = sqrt(max(r2,1e-12)) ; r2 = tl.tl
+                idist = nv["idist"]
+                ctlx = cwlx * idist
+                ctly = cwly * idist
+                ctlz = cwlz * idist
+                cidist = (nv["tlx"] * cwlx + nv["tly"] * cwly
+                          + nv["tlz"] * cwlz)
+                cdist = cdist - idist * idist * cidist
+                cr2 = cr2 + cdist * 0.5 * idist * live_r2
+                ctlx = ctlx + 2.0 * cr2 * nv["tlx"]
+                ctly = ctly + 2.0 * cr2 * nv["tly"]
+                ctlz = ctlz + 2.0 * cr2 * nv["tlz"]
+                # tl = y - p ; y = lc + u1 lu + u2 lv
+                cpx = cpx - ctlx
+                cpy = cpy - ctly
+                cpz = cpz - ctlz
+                clcx, clcy, clcz = ctlx, ctly, ctlz
+                clux = clux + nv["nu1"] * ctlx
+                cluy = cluy + nv["nu1"] * ctly
+                cluz = cluz + nv["nu1"] * ctlz
+                clvx = clvx + nv["nu2"] * ctlx
+                clvy = clvy + nv["nu2"] * ctly
+                clvz = clvz + nv["nu2"] * ctlz
+                Gl = jnp.concatenate(
+                    [clcx, clcy, clcz, clux, cluy, cluz,
+                     clvx, clvy, clvz, cler, cleg, cleb,
+                     zr, zr, zr, zr], axis=0)            # (16, TR)
+
+            # ---- A3 emission + A2 background --------------------------
+            cT1r = cT1r + gate_e * chr_ * g["wer"] + mlf * chr_ * bg_r
+            cT1g = cT1g + gate_e * chg_ * g["weg"] + mlf * chg_ * bg_g
+            cT1b = cT1b + gate_e * chb_ * g["web"] + mlf * chb_ * bg_b
+            cemit_r = gate_e * chr_ * T1r
+            cemit_g = gate_e * chg_ * T1g
+            cemit_b = gate_e * chb_ * T1b
+            cbg_r = mlf * T1r * chr_
+            cbg_g = mlf * T1g * chg_
+            cbg_b = mlf * T1b * chb_
+
+            # ---- A1 silhouette ----------------------------------------
+            if sil:
+                cF = cT1r * T0r + cT1g * T0g + cT1b * T0b
+                s1x, s1y, s1z, s1r = silhouette_adj(st, best_t, rowf, cF)
+                cscx_all = cscx_all + s1x
+                cscy_all = cscy_all + s1y
+                cscz_all = cscz_all + s1z
+                csr_all = csr_all + s1r
+            cT0r, cT0g, cT0b = cT1r, cT1g, cT1b
+
+            # ---- A0 normal -> point -> t -> geometry params -----------
+            sgn = g["sgn"]
+            cnox = sgn * cnx
+            cnoy = sgn * cny
+            cnoz = sgn * cnz
+            quadf = g["isq"]
+            sphf = 1.0 - quadf
+            # sphere: n_out = m / rho, m = p - c
+            rho = g["rho"]
+            sd_n = (g["sx_o"] * cnox + g["sy_o"] * cnoy + g["sz_o"] * cnoz)
+            cmx = sphf * (cnox - g["sx_o"] * sd_n) / rho
+            cmy = sphf * (cnoy - g["sy_o"] * sd_n) / rho
+            cmz = sphf * (cnoz - g["sz_o"] * sd_n) / rho
+            cpx = cpx + cmx
+            cpy = cpy + cmy
+            cpz = cpz + cmz
+            c_cx = -cmx
+            c_cy = -cmy
+            c_cz = -cmz
+            # quad: n_out = wn / qlen
+            qd_n = (g["qx_o"] * cnox + g["qy_o"] * cnoy + g["qz_o"] * cnoz)
+            cwnx = quadf * (cnox - g["qx_o"] * qd_n) / g["qlen"]
+            cwny = quadf * (cnoy - g["qy_o"] * qd_n) / g["qlen"]
+            cwnz = quadf * (cnoz - g["qz_o"] * qd_n) / g["qlen"]
+            # p = o + t d
+            ct = (cpx * dx + cpy * dy + cpz * dz) * hlf
+            cox = cox + cpx
+            coy = coy + cpy
+            coz = coz + cpz
+            cdx = cdx + g["t"] * cpx
+            cdy = cdy + g["t"] * cpy
+            cdz = cdz + g["t"] * cpz
+            # sphere t chain (explicit roots)
+            sphtf = sphf * hlf
+            sq_safe = g["sq_safe"]
+            use0f = g["use0"].astype(jnp.float32)
+            root_sgn = 2.0 * use0f - 1.0    # +1 near root, -1 far root
+            chb = ct * sphtf * (-1.0 - root_sgn * g["hb"] / sq_safe)
+            cct = ct * sphtf * (root_sgn * 0.5 / sq_safe)
+            ocx, ocy, ocz = g["ocx"], g["ocy"], g["ocz"]
+            cocx = chb * dx + 2.0 * cct * ocx
+            cocy = chb * dy + 2.0 * cct * ocy
+            cocz = chb * dz + 2.0 * cct * ocz
+            crad = cct * (-2.0 * g["wrad"])
+            cdx = cdx + chb * ocx
+            cdy = cdy + chb * ocy
+            cdz = cdz + chb * ocz
+            cox = cox + cocx
+            coy = coy + cocy
+            coz = coz + cocz
+            c_cx = c_cx - cocx
+            c_cy = c_cy - cocy
+            c_cz = c_cz - cocz
+            # quad t chain: t = num/den, num = wn.(qc - o), den = wn.d
+            qtf = quadf * hlf
+            cnum = ct * qtf / g["dden"]
+            cden = -ct * qtf * g["t_quad"] / g["dden"]
+            cwnx = cwnx + cnum * (g["wqcx"] - ox) + cden * dx
+            cwny = cwny + cnum * (g["wqcy"] - oy) + cden * dy
+            cwnz = cwnz + cnum * (g["wqcz"] - oz) + cden * dz
+            cqc_x = cnum * g["wnx"]
+            cqc_y = cnum * g["wny"]
+            cqc_z = cnum * g["wnz"]
+            cox = cox - cnum * g["wnx"]
+            coy = coy - cnum * g["wny"]
+            coz = coz - cnum * g["wnz"]
+            cdx = cdx + cden * g["wnx"]
+            cdy = cdy + cden * g["wny"]
+            cdz = cdz + cden * g["wnz"]
+            # wn = wqu x wqv
+            cqux, cquy, cquz = cross3(
+                g["wqvx"], g["wqvy"], g["wqvz"], cwnx, cwny, cwnz)
+            cqvx, cqvy, cqvz = cross3(
+                cwnx, cwny, cwnz, g["wqux"], g["wquy"], g["wquz"])
+
+            # ---- parameter accumulation matrices ----------------------
+            onehot = g["onehot"]
+            Gs = jnp.concatenate(
+                [c_cx, c_cy, c_cz, crad, zr, zr, zr, zr], axis=0)  # (8,TR)
+            dsph_add = cl(onehot[:ns], Gs)                          # (ns,8)
+            red = lambda m: cl(m, ones_1tr)                         # (ns,1)
+            dsph_add = dsph_add + jnp.concatenate(
+                [red(cscx_all), red(cscy_all), red(cscz_all),
+                 red(csr_all), jnp.zeros((ns, 4), jnp.float32)], axis=1)
+            Gq = jnp.concatenate(
+                [cqc_x, cqc_y, cqc_z, cqux, cquy, cquz,
+                 cqvx, cqvy, cqvz, zr, zr, zr, zr, zr, zr, zr], axis=0)
+            dquad_add = cl(onehot[ns:], Gq)                         # (nq,16)
+            monehot = (mrow_ids == g["wmat"].astype(jnp.int32)).astype(
+                jnp.float32)
+            Gm = jnp.concatenate(
+                [calb_r, calb_g, calb_b, cfuzz, cior,
+                 cemit_r, cemit_g, cemit_b], axis=0)                # (8,TR)
+            dmat_add = cl(monehot, Gm)                              # (nm,8)
+            if Gl is not None:
+                dlight_add = cl(lone, Gl)                           # (nl,16)
+            else:
+                dlight_add = jnp.zeros((nl, 16), jnp.float32)
+            cout = (cox, coy, coz, cdx, cdy, cdz, cT0r, cT0g, cT0b)
+            return cout, (dsph_add, dquad_add, dmat_add, dlight_add,
+                          cbg_r, cbg_g, cbg_b)
+
+        # ============== phase 1: forward NEE image ====================
+        zeros_ = jnp.zeros((1, tr), jnp.float32)
+        ones_ = jnp.ones((1, tr), jnp.float32)
+
+        def sample_fwd(s, acc):
+            ox, oy, oz, dx, dy, dz, sample_id = raygen(s)
+            st0 = (ox, oy, oz, dx, dy, dz, ones_, ones_, ones_, ones_,
+                   zeros_)
+
+            def b_body(b, carry):
+                st = carry[:11]
+                col = carry[11:]
+                best_t, row, _hit = closest_hit(
+                    st[0], st[1], st[2], st[3], st[4], st[5])
+                g = shade(sample_id, b.astype(jnp.uint32), st, best_t, row)
+                vis = shadow_vis(g)
+                dcr, dcg, dcb = color_adds(g, st, vis)
+                st2 = advance(g, st)
+                return st2 + (col[0] + dcr, col[1] + dcg, col[2] + dcb)
+
+            carry = st0 + (zeros_, zeros_, zeros_)
+            carry = jax.lax.fori_loop(0, mb, b_body, carry)
+            ar, ag, ab = acc
+            return (ar + carry[11], ag + carry[12], ab + carry[13])
+
+        ar, ag, ab = jax.lax.fori_loop(
+            0, spp, sample_fwd, (zeros_, zeros_, zeros_))
+        inv_spp = 1.0 / float(spp)
+        img_r = ar * inv_spp
+        img_g = ag * inv_spp
+        img_b = ab * inv_spp
+        img_ref[0:1, :] = img_r
+        img_ref[1:2, :] = img_g
+        img_ref[2:3, :] = img_b
+
+        # ============== phase 2: local loss cotangent =================
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tr), 1)
+        gidx = (pl.program_id(0) * tr + lane).astype(jnp.float32)
+        wgt = (gidx < npixf).astype(jnp.float32)
+        cscale = 2.0 * wgt / (npixf * 3.0 * float(spp))
+        chr_ = cscale * (img_r - tgt_ref[0:1, :])
+        chg_ = cscale * (img_g - tgt_ref[1:2, :])
+        chb_ = cscale * (img_b - tgt_ref[2:3, :])
+        chat = (chr_, chg_, chb_)
+
+        # ============== phase 3: replay + adjoint =====================
+        def sample_bwd(s, accs):
+            (dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a) = accs
+            ox, oy, oz, dx, dy, dz, sample_id = raygen(s)
+            st = (ox, oy, oz, dx, dy, dz, ones_, ones_, ones_, ones_,
+                  zeros_)
+            saves = []
+            for b in range(mb):                      # python-unrolled
+                best_t, row, _hit = closest_hit(
+                    st[0], st[1], st[2], st[3], st[4], st[5])
+                g = shade(sample_id, jnp.uint32(b), st, best_t, row)
+                vis = shadow_vis(g)
+                saves.append((st, best_t, row, vis))
+                st = advance(g, st)
+            co = (zeros_,) * 9
+            for b in reversed(range(mb)):
+                st_b, bt_b, row_b, vis_b = saves[b]
+                co, adds = bounce_adj(sample_id, b, st_b, bt_b, row_b,
+                                      vis_b, co, chat)
+                dsph_a = dsph_a + adds[0]
+                dquad_a = dquad_a + adds[1]
+                dmat_a = dmat_a + adds[2]
+                dlight_a = dlight_a + adds[3]
+                bgr_a = bgr_a + adds[4]
+                bgg_a = bgg_a + adds[5]
+                bgb_a = bgb_a + adds[6]
+            return (dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a)
+
+        accs0 = (
+            jnp.zeros((ns, 8), jnp.float32),
+            jnp.zeros((nq, 16), jnp.float32),
+            jnp.zeros((nm, 8), jnp.float32),
+            jnp.zeros((nl, 16), jnp.float32),
+            zeros_, zeros_, zeros_,
+        )
+        accs = jax.lax.fori_loop(0, spp, sample_bwd, accs0)
+        dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a = accs
+
+        # dmisc: background gradient in row 0, cols 0..2
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        bsr = jnp.sum(bgr_a)
+        bsg = jnp.sum(bgg_a)
+        bsb = jnp.sum(bgb_a)
+        dmisc = jnp.where(
+            (row_i == 0) & (col_i == 0), bsr,
+            jnp.where((row_i == 0) & (col_i == 1), bsg,
+                      jnp.where((row_i == 0) & (col_i == 2), bsb, 0.0)),
+        )
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            dsph_ref[...] = dsph_a
+            dquad_ref[...] = dquad_a
+            dmat_ref[...] = dmat_a
+            dlight_ref[...] = dlight_a
+            dmisc_ref[...] = dmisc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dsph_ref[...] = dsph_ref[...] + dsph_a
+            dquad_ref[...] = dquad_ref[...] + dquad_a
+            dmat_ref[...] = dmat_ref[...] + dmat_a
+            dlight_ref[...] = dlight_ref[...] + dlight_a
+            dmisc_ref[...] = dmisc_ref[...] + dmisc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "width", "height", "n_lights",
+                     "nm", "nee", "sil", "interpret"),
+)
+def _diff_call(cs, pay, sph_r, quad_c, quad_u, quad_v, light_pay,
+               cam_vec, ctl, tgt_cols, *, spp, max_bounces, width, height,
+               n_lights, nm, nee, sil, interpret):
+    from tinyraytracer_tpu.ops.megakernel import _pixel_arrays
+
+    npix = width * height
+    rp = ((npix + TILE - 1) // TILE) * TILE
+    pid, px, py = _pixel_arrays(width, height, rp)
+    ns, nq = cs.ns, cs.nq
+    nl = light_pay.shape[1]
+    kernel = _make_diff_kernel(spp, max_bounces, ns, nq, nm, nl,
+                               n_lights, nee, sil)
+    tile = lambda i: (0, i)
+    const = lambda i: (0, 0)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(rp // TILE,),
+        in_specs=[
+            pl.BlockSpec((1, 32), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), tile, memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        out_specs=[
+            pl.BlockSpec((3, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, 16), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nm, 8), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nl, 16), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, rp), jnp.float32),
+            jax.ShapeDtypeStruct((ns, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nq, 16), jnp.float32),
+            jax.ShapeDtypeStruct((nm, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nl, 16), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        cam_vec, ctl, pid, px, py, tgt_cols,
+        cs.sph_c, sph_r, quad_c, quad_u, quad_v, pay, light_pay,
+    )
+    return outs
+
+
+def render_value_and_grad(
+    scene: SceneArrays,
+    camera: Camera,
+    target,
+    *,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed: int = 0,
+    spp_offset: int = 0,
+    nee: bool = True,
+    silhouette: bool = True,
+    interpret: bool = False,
+    ds: DiffScene | None = None,
+):
+    """Fused train objective: returns (loss, image, grads).
+
+    grads is a diff.params-style dict over FLOAT_FIELDS (plus
+    "background"), shaped like the SceneArrays fields — exactly what
+    jax.value_and_grad(render_loss) would produce through the modular
+    path (same estimator, same RNG streams), computed in one kernel.
+    """
+    if ds is None:
+        ds = build_diff_scene(scene)
+    w, h = camera.width, camera.height
+    npix = w * h
+    cam_vec = _camera_vector(camera, background)
+    cam_vec = cam_vec.at[0, 23].set(float(npix))
+    ctl = jnp.asarray(
+        [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
+        jnp.int32,
+    )
+    rp = ((npix + TILE - 1) // TILE) * TILE
+    tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
+    pad_ids = jnp.minimum(jnp.arange(rp), npix - 1)
+    tgt_cols = jnp.take(tgt, pad_ids, axis=0).T          # (3, rp)
+
+    img_cols, dsph, dquad, dmat, dlight, dmisc = _diff_call(
+        ds.cs, ds.pay, ds.sph_r, ds.quad_c, ds.quad_u, ds.quad_v,
+        ds.light_pay, cam_vec, ctl, tgt_cols,
+        spp=spp, max_bounces=max_bounces, width=w, height=h,
+        n_lights=ds.n_lights, nm=ds.n_mat, nee=nee, sil=silhouette,
+        interpret=interpret,
+    )
+    img = img_cols[:, :npix].T.reshape(h, w, 3)
+    loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
+
+    # --- map compacted grads back to SceneArrays-shaped arrays --------
+    sph_rows = jnp.asarray(ds.sph_rows, jnp.int32)
+    quad_rows = jnp.asarray(ds.quad_rows, jnp.int32)
+    ns_real = len(ds.sph_rows)
+    nq_real = len(ds.quad_rows)
+    g_sc = jnp.zeros_like(scene.sph_center)
+    g_sr = jnp.zeros_like(scene.sph_radius)
+    if ns_real:
+        g_sc = g_sc.at[sph_rows].set(dsph[:ns_real, 0:3])
+        g_sr = g_sr.at[sph_rows].set(dsph[:ns_real, 3])
+    g_qc = jnp.zeros_like(scene.quad_corner)
+    g_qu = jnp.zeros_like(scene.quad_u)
+    g_qv = jnp.zeros_like(scene.quad_v)
+    if nq_real:
+        g_qc = g_qc.at[quad_rows].set(dquad[:nq_real, 0:3])
+        g_qu = g_qu.at[quad_rows].set(dquad[:nq_real, 3:6])
+        g_qv = g_qv.at[quad_rows].set(dquad[:nq_real, 6:9])
+    nmr = scene.mat_albedo.shape[0]
+    g_alb = dmat[:nmr, 0:3]
+    g_fuzz = dmat[:nmr, 3]
+    g_ior = dmat[:nmr, 4]
+    g_emit = dmat[:nmr, 5:8]
+    if ds.n_lights:
+        lq = jnp.asarray(ds.light_quad_rows, jnp.int32)
+        lm = jnp.asarray(ds.light_mat_rows, jnp.int32)
+        g_qc = g_qc.at[lq].add(dlight[:ds.n_lights, 0:3])
+        g_qu = g_qu.at[lq].add(dlight[:ds.n_lights, 3:6])
+        g_qv = g_qv.at[lq].add(dlight[:ds.n_lights, 6:9])
+        g_emit = g_emit.at[lm].add(dlight[:ds.n_lights, 9:12])
+    grads = {
+        "sph_center": g_sc,
+        "sph_radius": g_sr,
+        "quad_corner": g_qc,
+        "quad_u": g_qu,
+        "quad_v": g_qv,
+        "mat_albedo": g_alb,
+        "mat_fuzz": g_fuzz,
+        "mat_ior": g_ior,
+        "mat_emit": g_emit,
+        "background": dmisc[0, 0:3],
+    }
+    return loss, img, grads

@@ -40,30 +40,37 @@ def _mm(a, b):
 MISS_T = jnp.float32(3.0e38)
 T_MIN = jnp.float32(1.0e-3)  # sampler/cpu.rs:48
 
-# Table size above which per-ray row gathers fall back to jnp.take. Below
-# it, gathers lower to one-hot matmuls: the forward rides the MXU and —
-# decisive for training throughput — the *transpose* is another matmul
-# instead of a 360k-update scatter-add, which TPUs serialize.
-_ONEHOT_GATHER_MAX = 1024
-
-
+@jax.custom_vjp
 def take_rows(table, j):
     """Differentiable `table[j]` for (N,) / (N, K) tables, (R,) indices.
 
-    Small tables use a one-hot matmul (see _ONEHOT_GATHER_MAX). Exactness:
-    each output row is a sum with exactly one nonzero product 1.0 * x, so
-    the result is bitwise equal to the gather (HIGHEST precision keeps the
-    MXU in full f32).
+    Forward is a plain gather (fast on TPU: measured 0.01 ms at R=360k).
+    The *transpose*, however, would be an R-update scatter-add, which
+    XLA:TPU compiles for minutes and runs ~serialized — so the backward is
+    written as a one-hot matmul instead: ct_table = onehot(j)ᵀ @ ct, an
+    (N,R)@(R,K) MXU reduction. The (N,R) one-hot puts R on the lane axis
+    (dense); exactness holds because every product is 1.0 * x.
     """
-    n = table.shape[0]
-    if n > _ONEHOT_GATHER_MAX:
-        return jnp.take(table, j, axis=0)
-    oh = (j[:, None] == jnp.arange(n, dtype=j.dtype)[None, :]).astype(
+    return jnp.take(table, j, axis=0)
+
+
+def _take_rows_fwd(table, j):
+    return jnp.take(table, j, axis=0), (j, table.shape[0], table.ndim)
+
+
+def _take_rows_bwd(res, ct):
+    j, n, ndim = res
+    oh_t = (jnp.arange(n, dtype=j.dtype)[:, None] == j[None, :]).astype(
         jnp.float32
-    )
-    if table.ndim == 1:
-        return _mm(oh, table[:, None])[:, 0]
-    return _mm(oh, table)
+    )                                                       # (N, R)
+    if ndim == 1:
+        ct_table = _mm(oh_t, ct[:, None])[:, 0]
+    else:
+        ct_table = _mm(oh_t, ct)
+    return ct_table, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 @jax.tree_util.register_dataclass

@@ -381,15 +381,19 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             st = (ox, oy, oz, dx, dy, dz,
                   tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f)
             if early_exit:
-                def cond(bst):
-                    b, st = bst
-                    return (b < max_bounces) & (jnp.max(st[12]) > 0.5)
+                # Bounded fori with a conditional skip: once every lane in
+                # the tile is dead, the remaining iterations take the empty
+                # branch (a reduce + branch, ~free). Chosen over a
+                # while_loop: same savings, provably terminates.
+                def bounce_or_skip(b, st):
+                    return jax.lax.cond(
+                        jnp.max(st[12]) > 0.5,
+                        lambda s: bounce_body(b, s),
+                        lambda s: s,
+                        st,
+                    )
 
-                def wbody(bst):
-                    b, st = bst
-                    return b + 1, bounce_body(b, st)
-
-                _, st = jax.lax.while_loop(cond, wbody, (jnp.int32(0), st))
+                st = jax.lax.fori_loop(0, max_bounces, bounce_or_skip, st)
             else:
                 # In enclosed scenes most lanes live to the budget: the
                 # alive-check would never fire and costs ~10% in reduce +

@@ -90,11 +90,18 @@ def trace(
     bias).
     """
     r = origins.shape[0]
+    # The scan carry is kept as (R,) *components*: a materialized (R, 3)
+    # f32 buffer lane-pads 3 -> 128 on TPU (42x the bytes), and the carry
+    # is stored to HBM every bounce — and, under remat, re-read by the
+    # backward pass. Components keep every crossing at logical size;
+    # in-body (R, 3) temporaries are free (XLA fuses them away).
+    ones = jnp.ones((r,), jnp.float32)
+    zeros = jnp.zeros((r,), jnp.float32)
     init = (
-        origins,
-        directions,
-        jnp.ones((r, 3), jnp.float32),   # throughput
-        jnp.zeros((r, 3), jnp.float32),  # accumulated color
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        directions[:, 0], directions[:, 1], directions[:, 2],
+        ones, ones, ones,                # throughput rgb
+        zeros, zeros, zeros,             # accumulated color rgb
         jnp.ones((r,), bool),            # alive (reached a scatter)
         jnp.zeros((r,), bool),           # previous bounce was diffuse (NEE)
     )
@@ -114,7 +121,12 @@ def trace(
         return isect.closest_select(scene, o, d, exact=exact)
 
     def body(carry, bounce):
-        o, d, throughput, color, alive, prev_diffuse = carry
+        (o_x, o_y, o_z, d_x, d_y, d_z, t_r, t_g, t_b, c_r, c_g, c_b,
+         alive, prev_diffuse) = carry
+        o = jnp.stack([o_x, o_y, o_z], axis=-1)
+        d = jnp.stack([d_x, d_y, d_z], axis=-1)
+        throughput = jnp.stack([t_r, t_g, t_b], axis=-1)
+        color = jnp.stack([c_r, c_g, c_b], axis=-1)
         # Selection is detached and saved as a remat residual ("select"):
         # the backward pass reconstructs the record from the saved winner
         # instead of re-running the argmin / BVH walk / Pallas kernel.
@@ -163,13 +175,20 @@ def trace(
         from tinyraytracer_tpu.models import materials as mat
 
         prev_diffuse = scattered & (rec.mat_kind == mat.LAMBERTIAN)
-        return (o, d, throughput, color, alive, prev_diffuse), None
+        out = (
+            o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2],
+            throughput[:, 0], throughput[:, 1], throughput[:, 2],
+            color[:, 0], color[:, 1], color[:, 2],
+            alive, prev_diffuse,
+        )
+        return out, None
 
     if remat:
         body = jax.checkpoint(body, policy=_SAVE_SELECT)
     bounces = jnp.arange(max_bounces, dtype=jnp.uint32)
-    (_, _, _, color, _, _), _ = jax.lax.scan(body, init, bounces)
-    return color
+    fin, _ = jax.lax.scan(body, init, bounces)
+    return jnp.stack([fin[9], fin[10], fin[11]], axis=-1)
 
 
 def _silhouette_factor(scene, o, d, t_sel, j, alive):
@@ -204,32 +223,43 @@ def _silhouette_factor(scene, o, d, t_sel, j, alive):
     d = sg(d)
     t_sel = sg(t_sel)
     ns = scene.sph_center.shape[0]
-    c = scene.sph_center                                   # (Ns,3) attached
-    r = jnp.abs(scene.sph_radius)                          # (Ns,)
+    # (Ns, R) orientation throughout: Ns rides the (padded-to-8) sublane
+    # axis and R the lane axis, so every materialized intermediate is
+    # dense. The (R, Ns) orientation would lane-pad Ns -> 128 (~16x bytes).
+    cx = scene.sph_center[:, 0:1]                          # (Ns,1) attached
+    cy = scene.sph_center[:, 1:2]
+    cz = scene.sph_center[:, 2:3]
+    r = jnp.abs(scene.sph_radius)[:, None]                 # (Ns,1)
 
     hit = t_sel < isect.MISS_T
-    t_lim = jnp.where(hit, t_sel, 3.0e30)                  # (R,)
-    is_sph_winner = hit[:, None] & (j[:, None] == jnp.arange(ns)[None, :])
+    t_lim = jnp.where(hit, t_sel, 3.0e30)[None, :]         # (1,R)
+    is_sph_winner = (
+        hit[None, :] & (j[None, :] == jnp.arange(ns)[:, None])
+    )                                                      # (Ns,R)
 
-    co = c[None, :, :] - o[:, None, :]                     # (R,Ns,3)
-    s_along = jnp.sum(co * d[:, None, :], axis=-1)         # (R,Ns)
+    ox, oy, oz = o[:, 0][None, :], o[:, 1][None, :], o[:, 2][None, :]
+    dx, dy, dz = d[:, 0][None, :], d[:, 1][None, :], d[:, 2][None, :]
+    cox = cx - ox                                          # (Ns,R)
+    coy = cy - oy
+    coz = cz - oz
+    s_along = cox * dx + coy * dy + coz * dz               # (Ns,R)
     # Hit event: closest approach of the forward ray line (no far clamp —
     # the winner IS this sphere, its own hit t would clamp onto the surface
     # and flatten cov to 1/2 for every interior ray). Pass-by event: clamp
     # to the winner t so spheres behind the actual hit stay inert.
     s_hit = jnp.maximum(s_along, float(isect.T_MIN))
-    s_blk = jnp.clip(s_along, float(isect.T_MIN), t_lim[:, None])
+    s_blk = jnp.clip(s_along, float(isect.T_MIN), t_lim)
     s_eff = jnp.where(is_sph_winner, s_hit, s_blk)
-    closest = o[:, None, :] + s_eff[..., None] * d[:, None, :]
-    dmin = jnp.sqrt(
-        jnp.maximum(jnp.sum((closest - c[None, :, :]) ** 2, axis=-1), 1e-12)
-    )
-    w = 0.05 * r[None, :] + 1e-5
-    cov = jax.nn.sigmoid((r[None, :] - dmin) / w)
+    ex = ox + s_eff * dx - cx
+    ey = oy + s_eff * dy - cy
+    ez = oz + s_eff * dz - cz
+    dmin = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12))
+    w = 0.05 * r + 1e-5
+    cov = jax.nn.sigmoid((r - dmin) / w)
     p = jnp.where(is_sph_winner, cov, 1.0 - cov)
-    p = jnp.where(scene.sph_valid[None, :] & alive[:, None], p, 1.0)
+    p = jnp.where(scene.sph_valid[:, None] & alive[None, :], p, 1.0)
     ratio = p / jnp.maximum(sg(p), 1e-3)
-    return jnp.prod(ratio, axis=-1)                        # (R,)
+    return jnp.prod(ratio, axis=0)                         # (R,)
 
 
 def _nee_contribution(
@@ -263,9 +293,11 @@ def _nee_contribution(
         jnp.maximum(n_lights - 1, 0),
     )                                                      # (R,)
     cum = jnp.cumsum(light_mask.astype(jnp.int32)) - 1     # (Nq,) 0-based
-    # il[r] = first quad index whose cumulative count equals k[r]
-    eq = (cum[None, :] == k[:, None]) & light_mask[None, :]
-    il = jnp.argmax(eq, axis=1)                            # (R,)
+    # il[r] = first quad index whose cumulative count equals k[r]; the
+    # (Nq, R) orientation keeps the compare matrix lane-dense, and the
+    # discrete choice is saved as a remat residual like the selections.
+    eq = (cum[:, None] == k[None, :]) & light_mask[:, None]
+    il = checkpoint_name(jnp.argmax(eq, axis=0), "select")  # (R,)
 
     corner = isect.take_rows(scene.quad_corner, il)
     lu = isect.take_rows(scene.quad_u, il)
@@ -303,19 +335,26 @@ def _nee_contribution(
     # exactly the hard V; backward sees d(log V_soft)/d(center, radius)).
     # This is the practical stand-in for true silhouette edge sampling
     # (SURVEY.md §7 "edge-aware estimator").
-    c_all = scene.sph_center                                # (Ns, 3)
-    r_all = jnp.take(scene.sph_radius, jnp.arange(c_all.shape[0]))
-    cx = c_all[None, :, :] - x[:, None, :]                  # (R, Ns, 3)
-    s_along = jnp.sum(cx * w[:, None, :], axis=-1)          # (R, Ns)
-    s_clamp = jnp.clip(s_along, 0.0, dist[:, None])
-    closest = x[:, None, :] + s_clamp[..., None] * w[:, None, :]
-    dsep = jnp.sqrt(
-        jnp.maximum(jnp.sum((closest - c_all[None, :, :]) ** 2, axis=-1), 1e-12)
-    )
-    soft_w = 0.25 * jnp.abs(r_all)[None, :] + 1e-6
-    v_soft_i = jax.nn.sigmoid((dsep - jnp.abs(r_all)[None, :]) / soft_w)
-    v_soft_i = jnp.where(scene.sph_valid[None, :], v_soft_i, 1.0)
-    v_soft = jnp.prod(v_soft_i, axis=-1)                    # (R,)
+    # (Ns, R) orientation: dense lanes (see _silhouette_factor).
+    scx = scene.sph_center[:, 0:1]                          # (Ns,1)
+    scy = scene.sph_center[:, 1:2]
+    scz = scene.sph_center[:, 2:3]
+    r_all = jnp.abs(scene.sph_radius)[:, None]              # (Ns,1)
+    xx, xy_, xz = x[:, 0][None, :], x[:, 1][None, :], x[:, 2][None, :]
+    wx, wy, wz = w[:, 0][None, :], w[:, 1][None, :], w[:, 2][None, :]
+    cxx = scx - xx                                          # (Ns,R)
+    cxy = scy - xy_
+    cxz = scz - xz
+    s_along = cxx * wx + cxy * wy + cxz * wz                # (Ns,R)
+    s_clamp = jnp.clip(s_along, 0.0, dist[None, :])
+    ex = xx + s_clamp * wx - scx
+    ey = xy_ + s_clamp * wy - scy
+    ez = xz + s_clamp * wz - scz
+    dsep = jnp.sqrt(jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-12))
+    soft_w = 0.25 * r_all + 1e-6
+    v_soft_i = jax.nn.sigmoid((dsep - r_all) / soft_w)
+    v_soft_i = jnp.where(scene.sph_valid[:, None], v_soft_i, 1.0)
+    v_soft = jnp.prod(v_soft_i, axis=0)                     # (R,)
     v_ratio = v_soft / jnp.maximum(sg(v_soft), 1e-3)
 
     # f/pdf = (albedo/pi) * E * cos_x * |cos_y| * A * NL / r^2. The 1/r^2
