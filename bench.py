@@ -1,10 +1,12 @@
-"""Headline benchmark: Cornell box 600×600 spp=200 (BASELINE config 3).
+"""Benchmark harness: all five BASELINE.md configs + fwd+bwd, one JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-Metric: forward camera-rays/sec/chip (w·h·spp primary rays per wall second,
-compile excluded) through the Pallas path-tracing megakernel — the
-production forward path (ops/megakernel.py). A forward+backward number
-through the differentiable modular path is reported alongside.
+Headline metric (BASELINE.md north star): forward camera-rays/sec/chip on
+Cornell 600×600 spp=200 through the Pallas megakernel, plus the
+forward+backward rate through the fused differentiable kernel
+(ops/diffkernel.py) — both recorded unconditionally. The other BASELINE
+configs (RTiOW sphere, three-sphere materials, 500-primitive random
+spheres) are measured every run so scale regressions are visible to the
+driver, and the headline carries a %-of-roofline figure (utils/sol.py).
 
 The reference publishes no numbers (BASELINE.md: two-line README, no
 benchmarks dir), so vs_baseline uses an estimated 1e7 camera rays/sec for
@@ -21,80 +23,95 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: the backward-pass XLA compile takes ~5 min
-# on the tunneled TPU; cache it across bench runs.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-WIDTH = 600
-HEIGHT = 600
-SPP = 200
-MAX_BOUNCES = 20
+BASELINE_RAYS_PER_SEC = 1.0e7  # estimated reference CPU throughput
 
-BASELINE_RAYS_PER_SEC = 1.0e7  # estimated reference CPU throughput (see above)
+# (key, preset, width, height, spp, max_bounces) — BASELINE.md configs 1-4.
+FWD_CONFIGS = (
+    ("cfg1_sphere_ground_400x225_spp16", "sphere_ground", 400, 225, 16, 8),
+    ("cfg2_three_spheres_400x225_spp100", "three_spheres", 400, 225, 100, 50),
+    ("cfg3_cornell_600x600_spp200", "cornell_box", 600, 600, 200, 20),
+    ("cfg4_random_spheres_1200x675_spp500", "random_spheres",
+     1200, 675, 500, 50),
+)
 
-# The fwd+bwd probe costs a long one-time compile; opt in via env.
-RUN_FWDBWD = os.environ.get("BENCH_FWDBWD", "0") == "1"
+
+def _best_of(f, n=3):
+    times = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        f(i + 1)
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main() -> None:
-    from tinyraytracer_tpu.diff.inverse import make_train_step
+    from tinyraytracer_tpu.diff.inverse import make_fused_train_step
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
+    from tinyraytracer_tpu.utils import sol
 
-    world, camera, kw = presets.cornell_box(width=WIDTH, height=HEIGHT)
-    scene = world.build()
-    rays = WIDTH * HEIGHT * SPP
+    result = {"device": str(jax.devices()[0].platform)}
 
-    # --- forward: megakernel -------------------------------------------
-    r = MegakernelRenderer(scene, camera, kw["background"])
-    r.render(spp=SPP, max_bounces=MAX_BOUNCES, seed=0).block_until_ready()
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        r.render(spp=SPP, max_bounces=MAX_BOUNCES, seed=i + 1).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    fwd_best = min(times)
-    fwd_rays = rays / fwd_best
-
-    result = {
-        "metric": "fwd_camera_rays_per_sec_per_chip_cornell600_spp200",
-        "value": round(fwd_rays, 1),
-        "unit": "rays/sec",
-        "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_SEC, 3),
-        "baseline_estimate": BASELINE_RAYS_PER_SEC,
-        "fwd_wall_s_best_of_3": round(fwd_best, 3),
-        "device": str(jax.devices()[0].platform),
-    }
-
-    if RUN_FWDBWD:
-        # One optimization step = render + MSE + full backward to every
-        # scene parameter, through the differentiable modular path.
-        bw, bh, bwd_spp, bwd_mb = 300, 300, 4, 8
-        world2, camera2, kw2 = presets.cornell_box(width=bw, height=bh)
-        scene2 = world2.build()
-        target = jnp.zeros((bh, bw, 3), jnp.float32)
-        step, (params, opt_state) = make_train_step(
-            scene2,
-            camera2,
-            target,
-            spp=bwd_spp,
-            max_bounces=bwd_mb,
-            background=kw2["background"],
-            seed=0,
+    # --- forward: megakernel over all four scene configs ----------------
+    for key, preset, w, h, spp, mb in FWD_CONFIGS:
+        world, camera, kw = presets.PRESETS[preset](width=w, height=h)
+        scene = world.build()
+        r = MegakernelRenderer(scene, camera, kw["background"])
+        r.render(spp=spp, max_bounces=mb, seed=0).block_until_ready()
+        dt = _best_of(
+            lambda s: r.render(spp=spp, max_bounces=mb,
+                               seed=s).block_until_ready()
         )
-        params, opt_state, _ = step(params, opt_state, 0)  # compile
-        jax.block_until_ready((params, opt_state))
-        t0 = time.perf_counter()
-        params, opt_state, loss = step(params, opt_state, 1)
-        jax.block_until_ready((params, opt_state, loss))
-        bwd_dt = time.perf_counter() - t0
-        result["fwdbwd_rays_per_sec"] = round(bw * bh * bwd_spp / bwd_dt, 1)
-        result["fwdbwd_config"] = f"cornell {bw}x{bh} spp={bwd_spp} mb={bwd_mb}"
+        rate = w * h * spp / dt
+        result[key] = round(rate, 1)
+        result[key + "_wall_s"] = round(dt, 3)
+        if preset == "cornell_box":
+            fwd_rays = rate
+            # Cornell runs the full budget on every lane (enclosed scene).
+            ns_rows = r.cs.ns if r.cs.n_sph_real else 0
+            nq_rows = r.cs.nq if r.cs.n_quad_real else 0
+            result["pct_sol_cornell_vpu_roofline"] = round(
+                sol.pct_of_sol(rate, ns_rows, nq_rows, mb), 3
+            )
 
+    # --- forward+backward: fused differentiable kernel ------------------
+    bw, bh, bspp, bmb = 300, 300, 4, 8
+    world2, camera2, kw2 = presets.cornell_box(width=bw, height=bh)
+    scene2 = world2.build()
+    target = jnp.zeros((bh, bw, 3), jnp.float32)
+    step, (params, opt_state) = make_fused_train_step(
+        scene2, camera2, target, spp=bspp, max_bounces=bmb,
+        background=kw2["background"], seed=0,
+    )
+    params, opt_state, _ = step(params, opt_state, 0)
+    jax.block_until_ready((params, opt_state))
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, i + 1)
+        jax.block_until_ready((params, opt_state, loss))
+        times.append(time.perf_counter() - t0)
+    bwd_dt = min(times)
+    result["fwdbwd_rays_per_sec"] = round(bw * bh * bspp / bwd_dt, 1)
+    result["fwdbwd_step_ms"] = round(bwd_dt * 1e3, 2)
+    result["fwdbwd_config"] = (
+        f"cornell {bw}x{bh} spp={bspp} mb={bmb} fused-kernel train step "
+        "(render+MSE+full backward+adam)"
+    )
+
+    result.update(
+        metric="fwd_camera_rays_per_sec_per_chip_cornell600_spp200",
+        value=round(fwd_rays, 1),
+        unit="rays/sec",
+        vs_baseline=round(fwd_rays / BASELINE_RAYS_PER_SEC, 3),
+        baseline_estimate=BASELINE_RAYS_PER_SEC,
+    )
     print(json.dumps(result))
 
 

@@ -99,11 +99,12 @@ def compare(name, golden_path, preset, width, height, spp, mb,
     b99 = np.percentile(bdiff, 99)
     ok = (mean_diff.max() <= mean_tol) and (b99 <= block_tol)
     status = "PASS" if ok else "FAIL"
-    print(
-        f"{status} {name}: mean diff {np.round(mean_diff, 2)} (tol {mean_tol}), "
+    detail = (
+        f"mean diff {np.round(mean_diff, 2)} (tol {mean_tol}), "
         f"block p99 {b99:.1f} max {bdiff.max():.1f} (tol {block_tol})"
     )
-    return ok
+    print(f"{status} {name}: {detail}")
+    return ok, detail
 
 
 def main() -> int:
@@ -111,12 +112,35 @@ def main() -> int:
     ap.add_argument("--spp-scale", type=int, default=1,
                     help="multiply each config's spp (lower our MC noise)")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--report", default=None,
+                    help="write a markdown PASS table here (e.g. GOLDEN_r02.md)")
     args = ap.parse_args()
     ok = True
+    rows = []
     for cfg in CONFIGS:
         if args.only and cfg[0] != args.only:
             continue
-        ok &= compare(*cfg, spp_scale=args.spp_scale)
+        passed, detail = compare(*cfg, spp_scale=args.spp_scale)
+        ok &= passed
+        rows.append((cfg[0], "PASS" if passed else "FAIL", detail))
+    if args.report:
+        import jax
+
+        lines = [
+            "# Golden parity vs reference renders",
+            "",
+            f"Device: {jax.devices()[0].platform}; spp-scale "
+            f"{args.spp_scale}; statistical comparison (the reference RNG "
+            "is unseedable — see scripts/golden_check.py).",
+            "",
+            "| golden | result | detail |",
+            "|---|---|---|",
+        ]
+        for name, st, detail in rows:
+            lines.append(f"| {name} | {st} | {detail} |")
+        with open(args.report, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {args.report}")
     return 0 if ok else 1
 
 

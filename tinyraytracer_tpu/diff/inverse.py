@@ -264,6 +264,68 @@ def make_train_step(
     return step, (params0, optimizer.init(params0))
 
 
+def make_fused_train_step(
+    scene_template: SceneArrays,
+    camera: Camera,
+    target,
+    *,
+    spp: int,
+    max_bounces: int,
+    background,
+    seed: int = 0,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    learning_rate: float = 1e-2,
+    advance_samples: bool = True,
+    trainable: Optional[Tuple[str, ...]] = None,
+    interpret: bool = False,
+) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
+    """Train step on the fused differentiable kernel (ops/diffkernel.py).
+
+    Semantics match make_train_step(nee=True, silhouette=True) — same
+    estimator, RNG streams and gradients (tests/test_diffkernel.py) — but
+    render, loss and the whole backward run in ONE kernel launch, so a
+    step costs ~3 forward renders instead of the modular path's
+    fusion-boundary-bound fwd+bwd. Single-device (the fused kernel is the
+    per-chip unit; shard pixels above it for multi-chip training).
+    """
+    from tinyraytracer_tpu.ops.diffkernel import (
+        build_diff_static,
+        render_value_and_grad,
+    )
+
+    optimizer = optimizer or optax.adam(learning_rate)
+    target = jnp.asarray(target, jnp.float32)
+    static = build_diff_static(scene_template)
+    stride = spp if advance_samples else 0
+    trainset = None if trainable is None else frozenset(trainable)
+
+    @jax.jit
+    def step(params, opt_state, step_idx):
+        s = apply_params(scene_template, params)
+        loss, _img, grads = render_value_and_grad(
+            s, camera, target,
+            spp=spp, max_bounces=max_bounces, background=background,
+            seed=seed,
+            spp_offset=jnp.uint32(step_idx) * jnp.uint32(stride),
+            interpret=interpret, static=static,
+        )
+        grads = {
+            k: jnp.where(jnp.isfinite(g), g, 0.0)
+            for k, g in grads.items() if k != "background"
+        }
+        if trainset is not None:
+            grads = {
+                k: g if k in trainset else jnp.zeros_like(g)
+                for k, g in grads.items()
+            }
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt, loss
+
+    params0 = scene_params(scene_template)
+    return step, (params0, optimizer.init(params0))
+
+
 def refresh_compact(scene_template: SceneArrays, params: Params):
     """Host-side compaction snapshot of the current fit state, for passing
     back into a kernel-selected train step (see make_train_step)."""

@@ -49,16 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinyraytracer_tpu.models.camera import Camera
 from tinyraytracer_tpu.models.world import SceneArrays
-from tinyraytracer_tpu.ops.intersect_pallas import CompactScene, compact_scene
 from tinyraytracer_tpu.ops.megakernel import (
     _camera_vector,
     _normalize3,
     _uniform4,
 )
 
-# Rays per tile. Smaller than the forward megakernel's 1024: the unrolled
-# replay keeps ~14 (1, TR) f32 values per bounce live in VMEM.
-TILE = 512
+# Rays per tile. Much smaller than the forward megakernel's 1024: the
+# unrolled replay keeps each bounce's saved state AND shade intermediates
+# live in VMEM across the reverse sweep (~200 KB/bounce at 256 lanes);
+# 512 lanes exceeded v5e's 16 MB scoped-vmem limit by ~5% at mb=8.
+TILE = 256
 
 _T_MIN = 1.0e-3
 _MISS = 3.0e38
@@ -81,111 +82,126 @@ _P_QV = 24      # 24..26 quad v
 _P_ROWS = 32
 
 
-@dataclasses.dataclass
-class DiffScene:
-    """Host-prepared device tables for the fused differentiable kernel."""
+@dataclasses.dataclass(frozen=True)
+class DiffStatic:
+    """Static (host-computed) structure of a scene for the fused kernel.
 
-    cs: CompactScene
-    pay: jax.Array          # (32, NA) payload incl. raw winner geometry
-    sph_r: jax.Array        # (Ns, 1) signed radius of compacted spheres
-    quad_c: jax.Array       # (Nq, 3) raw corner
-    quad_u: jax.Array       # (Nq, 3)
-    quad_v: jax.Array       # (Nq, 3)
-    light_pay: jax.Array    # (16, NL): rows [corner xyz, u xyz, v xyz,
-                            #  emission rgb, 4 spare] of the quad lights
-    n_lights: int           # real light count (static)
-    n_mat: int              # material-table rows (static, padded to 8)
-    # host mappings back to SceneArrays rows
-    sph_rows: np.ndarray    # (ns_real,) global sphere rows
-    quad_rows: np.ndarray   # (nq_real,) global quad rows
-    light_quad_rows: np.ndarray  # (n_lights,) global quad rows of lights
-    light_mat_rows: np.ndarray   # (n_lights,) material rows of lights
+    Row selections, material ids and light membership are int/bool
+    *structure* (diff/params.py: never differentiated, never traced), so
+    they are extracted once on host; the numeric device tables are rebuilt
+    from live parameters inside jit by `diff_tables` — a training step can
+    therefore update geometry/materials without host round trips.
+    """
+
+    ns: int                 # padded compacted sphere rows
+    nq: int                 # padded compacted quad rows
+    nm: int                 # padded material rows
+    nl: int                 # padded light rows
+    n_lights: int           # real light count
+    sph_rows: tuple         # global sphere rows (real)
+    quad_rows: tuple        # global quad rows (real)
+    light_quad_rows: tuple  # global quad rows of the lights
+    light_mat_rows: tuple   # material rows of the lights
+    mat_ids: tuple          # compacted prim -> global material row
+    mat_kinds: tuple        # material kind codes (static ints)
 
 
-def build_diff_scene(scene: SceneArrays) -> DiffScene:
-    """Host-side lowering of a SceneArrays for the fused diff kernel."""
-    cs = compact_scene(scene)
-    ns, nq = cs.ns, cs.nq
-    na = ns + nq
+def build_diff_static(scene: SceneArrays) -> DiffStatic:
+    from tinyraytracer_tpu.models import materials as mat
 
     s_rows = np.nonzero(np.asarray(scene.sph_valid))[0]
     q_rows = np.nonzero(np.asarray(scene.quad_valid))[0]
-    sc = np.asarray(scene.sph_center, np.float32)
-    sr = np.asarray(scene.sph_radius, np.float32)
-    qc = np.asarray(scene.quad_corner, np.float32)
-    qu = np.asarray(scene.quad_u, np.float32)
-    qv = np.asarray(scene.quad_v, np.float32)
+    kinds = np.asarray(scene.mat_kind)
     sph_mat = np.asarray(scene.sph_mat)
     quad_mat = np.asarray(scene.quad_mat)
-    kinds = np.asarray(scene.mat_kind)
-    alb = np.asarray(scene.mat_albedo, np.float32)
-    fuzz = np.asarray(scene.mat_fuzz, np.float32)
-    ior = np.asarray(scene.mat_ior, np.float32)
-    emit = np.asarray(scene.mat_emit, np.float32)
-
-    pay = np.zeros((_P_ROWS, na), np.float32)
-    # sphere block
-    pay[_P_C:_P_C + 3, :len(s_rows)] = sc[s_rows].T
-    pay[_P_RAD, :len(s_rows)] = sr[s_rows]
-    # quad block
-    qsl = slice(ns, ns + len(q_rows))
-    pay[_P_ISQ, ns:] = 1.0
-    n_vec = np.cross(qu[q_rows], qv[q_rows])
-    n_len = np.maximum(np.linalg.norm(n_vec, axis=1, keepdims=True), 1e-30)
-    pay[_P_NH:_P_NH + 3, qsl] = (n_vec / n_len).T
-    pay[_P_QC:_P_QC + 3, qsl] = qc[q_rows].T
-    pay[_P_QU:_P_QU + 3, qsl] = qu[q_rows].T
-    pay[_P_QV:_P_QV + 3, qsl] = qv[q_rows].T
-    # material rows
+    ns = max(8, ((len(s_rows) + 7) // 8) * 8)
+    nq = max(8, ((len(q_rows) + 7) // 8) * 8)
+    na = ns + nq
     mids = np.zeros((na,), np.int64)
     mids[: len(s_rows)] = sph_mat[s_rows]
     mids[ns:ns + len(q_rows)] = quad_mat[q_rows]
-    pay[_P_KIND] = kinds[mids]
-    pay[_P_ALB:_P_ALB + 3] = alb[mids].T
-    pay[_P_FUZZ] = fuzz[mids]
-    pay[_P_IOR] = ior[mids]
-    pay[_P_EMIT:_P_EMIT + 3] = emit[mids].T
-    pay[_P_MAT] = mids.astype(np.float32)
-    # padded (invalid) rows: material 0 but unreachable (inert geometry)
-
-    # quad lights (NEE targets), in quad storage order
-    from tinyraytracer_tpu.models import materials as mat
-
     is_light = kinds[quad_mat[q_rows]] == mat.LIGHT
     lq_rows = q_rows[is_light]
-    nl_real = len(lq_rows)
-    nl = max(8, ((nl_real + 7) // 8) * 8)
-    light_pay = np.zeros((16, nl), np.float32)
-    light_pay[0:3, :nl_real] = qc[lq_rows].T
-    light_pay[3:6, :nl_real] = qu[lq_rows].T
-    light_pay[6:9, :nl_real] = qv[lq_rows].T
-    light_pay[9:12, :nl_real] = emit[quad_mat[lq_rows]].T
-
+    nl = max(8, ((len(lq_rows) + 7) // 8) * 8)
     nm = max(8, ((kinds.shape[0] + 7) // 8) * 8)
-
-    return DiffScene(
-        cs=cs,
-        pay=jnp.asarray(pay),
-        sph_r=jnp.asarray(
-            np.pad(sr[s_rows], (0, ns - len(s_rows))).reshape(ns, 1)
-        ),
-        quad_c=jnp.asarray(_pad_rows(qc[q_rows], nq, 1e30)),
-        quad_u=jnp.asarray(_pad_rows(qu[q_rows], nq, 0.0)),
-        quad_v=jnp.asarray(_pad_rows(qv[q_rows], nq, 0.0)),
-        light_pay=jnp.asarray(light_pay),
-        n_lights=nl_real,
-        n_mat=nm,
-        sph_rows=s_rows,
-        quad_rows=q_rows,
-        light_quad_rows=lq_rows,
-        light_mat_rows=np.asarray(quad_mat[lq_rows]),
+    return DiffStatic(
+        ns=ns, nq=nq, nm=nm, nl=nl, n_lights=len(lq_rows),
+        sph_rows=tuple(int(i) for i in s_rows),
+        quad_rows=tuple(int(i) for i in q_rows),
+        light_quad_rows=tuple(int(i) for i in lq_rows),
+        light_mat_rows=tuple(int(i) for i in quad_mat[lq_rows]),
+        mat_ids=tuple(int(i) for i in mids),
+        mat_kinds=tuple(int(k) for k in kinds),
     )
 
 
-def _pad_rows(a: np.ndarray, n: int, fill: float) -> np.ndarray:
-    out = np.full((n, a.shape[1]), fill, np.float32)
-    out[: a.shape[0]] = a
-    return out
+def diff_tables(scene: SceneArrays, st: DiffStatic):
+    """jit-safe device tables from (possibly traced) scene parameters."""
+    ns, nq, na = st.ns, st.nq, st.ns + st.nq
+    nreal_s = len(st.sph_rows)
+    nreal_q = len(st.quad_rows)
+    s_idx = jnp.asarray(st.sph_rows, jnp.int32).reshape(-1)
+    q_idx = jnp.asarray(st.quad_rows, jnp.int32).reshape(-1)
+    m_idx = jnp.asarray(st.mat_ids, jnp.int32)
+    kinds = jnp.asarray(st.mat_kinds, jnp.float32)
+
+    def take(a, idx):
+        return jnp.take(a, idx, axis=0) if idx.shape[0] else a[:0]
+
+    sc = take(scene.sph_center, s_idx)                  # (nreal_s, 3)
+    sr = take(scene.sph_radius, s_idx)
+    qc = take(scene.quad_corner, q_idx)
+    qu = take(scene.quad_u, q_idx)
+    qv = take(scene.quad_v, q_idx)
+
+    sph_c = jnp.full((ns, 3), 1e30, jnp.float32).at[:nreal_s].set(sc)
+    sph_r = jnp.zeros((ns, 1), jnp.float32).at[:nreal_s, 0].set(sr)
+    quad_c = jnp.full((nq, 3), 1e30, jnp.float32).at[:nreal_q].set(qc)
+    quad_u = jnp.zeros((nq, 3), jnp.float32).at[:nreal_q].set(qu)
+    quad_v = jnp.zeros((nq, 3), jnp.float32).at[:nreal_q].set(qv)
+
+    alb = jnp.take(scene.mat_albedo, m_idx, axis=0)     # (na, 3)
+    fuzz = jnp.take(scene.mat_fuzz, m_idx)
+    ior = jnp.take(scene.mat_ior, m_idx)
+    emit = jnp.take(scene.mat_emit, m_idx, axis=0)
+    kind_rows = jnp.take(kinds, m_idx)
+
+    nvec = jnp.cross(qu, qv)
+    nlen = jnp.sqrt(jnp.maximum(jnp.sum(nvec * nvec, -1, keepdims=True),
+                                1e-30))
+    nhat = nvec / nlen
+
+    pay = jnp.zeros((_P_ROWS, na), jnp.float32)
+    pay = pay.at[_P_C:_P_C + 3, :nreal_s].set(sc.T)
+    pay = pay.at[_P_RAD, :nreal_s].set(sr)
+    pay = pay.at[_P_ISQ, ns:].set(1.0)
+    pay = pay.at[_P_NH:_P_NH + 3, ns:ns + nreal_q].set(nhat.T)
+    pay = pay.at[_P_QC:_P_QC + 3, ns:ns + nreal_q].set(qc.T)
+    pay = pay.at[_P_QU:_P_QU + 3, ns:ns + nreal_q].set(qu.T)
+    pay = pay.at[_P_QV:_P_QV + 3, ns:ns + nreal_q].set(qv.T)
+    pay = pay.at[_P_KIND].set(kind_rows)
+    pay = pay.at[_P_ALB:_P_ALB + 3].set(alb.T)
+    pay = pay.at[_P_FUZZ].set(fuzz)
+    pay = pay.at[_P_IOR].set(ior)
+    pay = pay.at[_P_EMIT:_P_EMIT + 3].set(emit.T)
+    pay = pay.at[_P_MAT].set(m_idx.astype(jnp.float32))
+    # padded sphere rows must never win but also never NaN the replay:
+    # center 1e30 / radius 0 keeps every guard finite.
+
+    light_pay = jnp.zeros((16, st.nl), jnp.float32)
+    if st.n_lights:
+        lq = jnp.asarray(st.light_quad_rows, jnp.int32)
+        lm = jnp.asarray(st.light_mat_rows, jnp.int32)
+        light_pay = light_pay.at[0:3, :st.n_lights].set(
+            jnp.take(scene.quad_corner, lq, axis=0).T)
+        light_pay = light_pay.at[3:6, :st.n_lights].set(
+            jnp.take(scene.quad_u, lq, axis=0).T)
+        light_pay = light_pay.at[6:9, :st.n_lights].set(
+            jnp.take(scene.quad_v, lq, axis=0).T)
+        light_pay = light_pay.at[9:12, :st.n_lights].set(
+            jnp.take(scene.mat_emit, lm, axis=0).T)
+    return dict(sph_c=sph_c, sph_r=sph_r, quad_c=quad_c, quad_u=quad_u,
+                quad_v=quad_v, pay=pay, light_pay=light_pay)
 
 
 def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
@@ -644,7 +660,10 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             zs = (dsep - r_abs) / wsoft
             vs_raw = jax.nn.sigmoid(zs)
             vs = jnp.where(sval > 0.5, vs_raw, 1.0)
-            v = jnp.prod(vs, axis=0, keepdims=True)
+            # Mosaic has no reduce_prod lowering; exp-sum-log is exact to
+            # a few ulp here (vs in (0, 1], floored against log(0)).
+            v = jnp.exp(jnp.sum(jnp.log(jnp.maximum(vs, 1e-30)),
+                                axis=0, keepdims=True))
             return dict(cxx=cxx, cxy=cxy, cxz=cxz, s_along=s_along,
                         s_cl=s_cl, ex=ex, ey=ey, ez=ez, dsep=dsep,
                         wsoft=wsoft, vs_raw=vs_raw, vs=vs, v=v,
@@ -757,14 +776,13 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
         ones_1tr = jnp.ones((1, TILE), jnp.float32)
 
-        def bounce_adj(sample_id, b_py, st, best_t, rowf, vis,
+        def bounce_adj(sample_id, b_py, st, best_t, rowf, vis, g,
                        cin, chat):
             """Reverse one bounce. `st` is the state BEFORE the bounce;
-            `cin` = (co x3, cd x3, cT x3) cotangents of the state AFTER;
-            `chat` = (3,) per-sample color cotangent rows. Returns
-            (cout, grad adds)."""
-            b_u32 = jnp.uint32(b_py)
-            g = shade(sample_id, b_u32, st, best_t, rowf)
+            `g` is the replay's shade dict for this bounce (reused, not
+            recomputed); `cin` = (co x3, cd x3, cT x3) cotangents of the
+            state AFTER; `chat` = (3,) per-sample color cotangent rows.
+            Returns (cout, grad adds)."""
             (ox, oy, oz, dx, dy, dz, T0r, T0g, T0b, alive_f, pd_f) = st
             (cox_in, coy_in, coz_in, cdx_in, cdy_in, cdz_in,
              cTr_in, cTg_in, cTb_in) = cin
@@ -1152,13 +1170,13 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                     st[0], st[1], st[2], st[3], st[4], st[5])
                 g = shade(sample_id, jnp.uint32(b), st, best_t, row)
                 vis = shadow_vis(g)
-                saves.append((st, best_t, row, vis))
+                saves.append((st, best_t, row, vis, g))
                 st = advance(g, st)
             co = (zeros_,) * 9
             for b in reversed(range(mb)):
-                st_b, bt_b, row_b, vis_b = saves[b]
+                st_b, bt_b, row_b, vis_b, g_b = saves[b]
                 co, adds = bounce_adj(sample_id, b, st_b, bt_b, row_b,
-                                      vis_b, co, chat)
+                                      vis_b, g_b, co, chat)
                 dsph_a = dsph_a + adds[0]
                 dquad_a = dquad_a + adds[1]
                 dmat_a = dmat_a + adds[2]
@@ -1211,21 +1229,16 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spp", "max_bounces", "width", "height", "n_lights",
-                     "nm", "nee", "sil", "interpret"),
-)
-def _diff_call(cs, pay, sph_r, quad_c, quad_u, quad_v, light_pay,
-               cam_vec, ctl, tgt_cols, *, spp, max_bounces, width, height,
-               n_lights, nm, nee, sil, interpret):
+def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
+               width, height, n_lights, nm, nee, sil, interpret):
     from tinyraytracer_tpu.ops.megakernel import _pixel_arrays
 
     npix = width * height
     rp = ((npix + TILE - 1) // TILE) * TILE
     pid, px, py = _pixel_arrays(width, height, rp)
-    ns, nq = cs.ns, cs.nq
-    nl = light_pay.shape[1]
+    ns = tables["sph_c"].shape[0]
+    nq = tables["quad_c"].shape[0]
+    nl = tables["light_pay"].shape[1]
     kernel = _make_diff_kernel(spp, max_bounces, ns, nq, nm, nl,
                                n_lights, nee, sil)
     tile = lambda i: (0, i)
@@ -1261,7 +1274,9 @@ def _diff_call(cs, pay, sph_r, quad_c, quad_u, quad_v, light_pay,
         interpret=interpret,
     )(
         cam_vec, ctl, pid, px, py, tgt_cols,
-        cs.sph_c, sph_r, quad_c, quad_u, quad_v, pay, light_pay,
+        tables["sph_c"], tables["sph_r"], tables["quad_c"],
+        tables["quad_u"], tables["quad_v"], tables["pay"],
+        tables["light_pay"],
     )
     return outs
 
@@ -1275,58 +1290,61 @@ def render_value_and_grad(
     max_bounces: int,
     background,
     seed: int = 0,
-    spp_offset: int = 0,
+    spp_offset=0,
     nee: bool = True,
     silhouette: bool = True,
     interpret: bool = False,
-    ds: DiffScene | None = None,
+    static: DiffStatic | None = None,
 ):
     """Fused train objective: returns (loss, image, grads).
 
     grads is a diff.params-style dict over FLOAT_FIELDS (plus
-    "background"), shaped like the SceneArrays fields — exactly what
-    jax.value_and_grad(render_loss) would produce through the modular
-    path (same estimator, same RNG streams), computed in one kernel.
+    "background"), shaped like the SceneArrays fields — what
+    jax.value_and_grad(render_loss) produces through the modular path
+    (same estimator, same RNG streams), computed in one kernel launch.
+    Callable under jit: `scene` float fields may be traced; `static`
+    (host structure) can be precomputed once per topology.
     """
-    if ds is None:
-        ds = build_diff_scene(scene)
+    if static is None:
+        static = build_diff_static(scene)
+    st = static
     w, h = camera.width, camera.height
     npix = w * h
     cam_vec = _camera_vector(camera, background)
     cam_vec = cam_vec.at[0, 23].set(float(npix))
-    ctl = jnp.asarray(
-        [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
-        jnp.int32,
-    )
+    ctl = jnp.asarray([[0, 0, 0, 0]], jnp.int32)
+    ctl = ctl.at[0, 0].set(jnp.asarray(seed, jnp.uint32).astype(jnp.int32))
+    ctl = ctl.at[0, 1].set(
+        jnp.asarray(spp_offset, jnp.uint32).astype(jnp.int32))
     rp = ((npix + TILE - 1) // TILE) * TILE
     tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     pad_ids = jnp.minimum(jnp.arange(rp), npix - 1)
     tgt_cols = jnp.take(tgt, pad_ids, axis=0).T          # (3, rp)
 
+    tables = diff_tables(scene, st)
     img_cols, dsph, dquad, dmat, dlight, dmisc = _diff_call(
-        ds.cs, ds.pay, ds.sph_r, ds.quad_c, ds.quad_u, ds.quad_v,
-        ds.light_pay, cam_vec, ctl, tgt_cols,
+        tables, cam_vec, ctl, tgt_cols,
         spp=spp, max_bounces=max_bounces, width=w, height=h,
-        n_lights=ds.n_lights, nm=ds.n_mat, nee=nee, sil=silhouette,
+        n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
         interpret=interpret,
     )
     img = img_cols[:, :npix].T.reshape(h, w, 3)
     loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
 
     # --- map compacted grads back to SceneArrays-shaped arrays --------
-    sph_rows = jnp.asarray(ds.sph_rows, jnp.int32)
-    quad_rows = jnp.asarray(ds.quad_rows, jnp.int32)
-    ns_real = len(ds.sph_rows)
-    nq_real = len(ds.quad_rows)
+    ns_real = len(st.sph_rows)
+    nq_real = len(st.quad_rows)
     g_sc = jnp.zeros_like(scene.sph_center)
     g_sr = jnp.zeros_like(scene.sph_radius)
     if ns_real:
+        sph_rows = jnp.asarray(st.sph_rows, jnp.int32)
         g_sc = g_sc.at[sph_rows].set(dsph[:ns_real, 0:3])
         g_sr = g_sr.at[sph_rows].set(dsph[:ns_real, 3])
     g_qc = jnp.zeros_like(scene.quad_corner)
     g_qu = jnp.zeros_like(scene.quad_u)
     g_qv = jnp.zeros_like(scene.quad_v)
     if nq_real:
+        quad_rows = jnp.asarray(st.quad_rows, jnp.int32)
         g_qc = g_qc.at[quad_rows].set(dquad[:nq_real, 0:3])
         g_qu = g_qu.at[quad_rows].set(dquad[:nq_real, 3:6])
         g_qv = g_qv.at[quad_rows].set(dquad[:nq_real, 6:9])
@@ -1335,13 +1353,13 @@ def render_value_and_grad(
     g_fuzz = dmat[:nmr, 3]
     g_ior = dmat[:nmr, 4]
     g_emit = dmat[:nmr, 5:8]
-    if ds.n_lights:
-        lq = jnp.asarray(ds.light_quad_rows, jnp.int32)
-        lm = jnp.asarray(ds.light_mat_rows, jnp.int32)
-        g_qc = g_qc.at[lq].add(dlight[:ds.n_lights, 0:3])
-        g_qu = g_qu.at[lq].add(dlight[:ds.n_lights, 3:6])
-        g_qv = g_qv.at[lq].add(dlight[:ds.n_lights, 6:9])
-        g_emit = g_emit.at[lm].add(dlight[:ds.n_lights, 9:12])
+    if st.n_lights:
+        lq = jnp.asarray(st.light_quad_rows, jnp.int32)
+        lm = jnp.asarray(st.light_mat_rows, jnp.int32)
+        g_qc = g_qc.at[lq].add(dlight[:st.n_lights, 0:3])
+        g_qu = g_qu.at[lq].add(dlight[:st.n_lights, 3:6])
+        g_qv = g_qv.at[lq].add(dlight[:st.n_lights, 6:9])
+        g_emit = g_emit.at[lm].add(dlight[:st.n_lights, 9:12])
     grads = {
         "sph_center": g_sc,
         "sph_radius": g_sr,

@@ -1,0 +1,58 @@
+"""Speed-of-light (roofline) model for the forward megakernel.
+
+BASELINE.md gate: "forward+backward at HBM/FLOP speed-of-light bounds per
+chip" — which requires a denominator. The megakernel keeps a ray tile and
+the whole scene resident in VMEM for the entire image (ops/megakernel.py),
+so HBM traffic per ray is a few bytes (pixel id in, RGB out) and the
+roofline is pure compute: the VPU issue rate bounds throughput.
+
+Model (counts audited against ops/megakernel.py's kernel body):
+  - sphere candidate test:   ~14 VPU ops/row   (oc, half_b, disc, roots,
+                                                compares, select)
+  - quad candidate test:     ~20 VPU ops/row   (plane t, alpha/beta, bounds)
+  - winner min/onehot:       ~3  ops/row
+  - per-segment fixed work:  ~260 ops          (payload matmul is MXU-side;
+                                                normal/scatter/RNG chain)
+  - per-camera-ray fixed:    ~90 ops           (raygen + accumulate)
+
+TPU v5e per-chip peaks (public spec): 394 GB/s HBM BW, 197 TFLOP/s bf16
+MXU; the VPU executes 4 f32 lanes-groups of (8,128) per cycle at 940 MHz
+~= 3.85 Top/s f32. The kernel's elementwise work is f32 on the VPU, so
+pct_sol is measured against the VPU bound (the MXU payload matmuls overlap
+and are nowhere near their own bound; HBM is ~0% utilized by design).
+"""
+
+from __future__ import annotations
+
+VPU_F32_OPS_PER_SEC = 3.85e12  # v5e: 4 x (8,128) f32 ALU @ 940 MHz
+
+SPHERE_OPS_PER_ROW = 14.0
+QUAD_OPS_PER_ROW = 20.0
+WINNER_OPS_PER_ROW = 3.0
+SEGMENT_FIXED_OPS = 260.0
+RAY_FIXED_OPS = 90.0
+
+
+def ops_per_camera_ray(n_sph_rows: int, n_quad_rows: int,
+                       bounces_executed: float) -> float:
+    """Modelled VPU ops one camera ray costs in the megakernel.
+
+    `bounces_executed` is the number of bounce iterations the kernel
+    actually runs per ray (the budget for fori tiles; the tile's max alive
+    path length under early exit).
+    """
+    per_seg = (
+        n_sph_rows * (SPHERE_OPS_PER_ROW + WINNER_OPS_PER_ROW)
+        + n_quad_rows * (QUAD_OPS_PER_ROW + WINNER_OPS_PER_ROW)
+        + SEGMENT_FIXED_OPS
+    )
+    return RAY_FIXED_OPS + bounces_executed * per_seg
+
+
+def pct_of_sol(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
+               bounces_executed: float) -> float:
+    """Fraction of the VPU compute roofline the measured rate achieves."""
+    achieved = rays_per_sec * ops_per_camera_ray(
+        n_sph_rows, n_quad_rows, bounces_executed
+    )
+    return achieved / VPU_F32_OPS_PER_SEC
