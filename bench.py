@@ -81,7 +81,7 @@ def main() -> None:
             )
 
     # --- forward+backward: fused differentiable kernel ------------------
-    bw, bh, bspp, bmb = 300, 300, 4, 8
+    bw, bh, bspp, bmb = 300, 300, 16, 8
     world2, camera2, kw2 = presets.cornell_box(width=bw, height=bh)
     scene2 = world2.build()
     target = jnp.zeros((bh, bw, 3), jnp.float32)

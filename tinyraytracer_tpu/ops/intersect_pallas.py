@@ -96,8 +96,15 @@ def _pad8(n: int) -> int:
     return max(8, ((n + 7) // 8) * 8)
 
 
-def compact_scene(scene: SceneArrays) -> CompactScene:
-    """Host-side compaction + quad plane precompute (like build_bvh)."""
+def compact_scene(scene: SceneArrays, sphere_order=None) -> CompactScene:
+    """Host-side compaction + quad plane precompute (like build_bvh).
+
+    `sphere_order` optionally permutes the valid spheres (a permutation of
+    range(n_valid)) — used by the megakernel's cluster lowering to store
+    spatially-coherent spheres contiguously. Winner ids still map back
+    through index_map, so consumers are order-agnostic (sphere/sphere
+    exact-t ties may resolve to a different winner; quad z-fight ties,
+    the ones that matter statistically, are unaffected)."""
     sc = np.asarray(scene.sph_center, np.float32)
     sr = np.asarray(scene.sph_radius, np.float32)
     sv = np.asarray(scene.sph_valid, bool)
@@ -107,6 +114,8 @@ def compact_scene(scene: SceneArrays) -> CompactScene:
     qvl = np.asarray(scene.quad_valid, bool)
 
     s_idx = np.nonzero(sv)[0]
+    if sphere_order is not None:
+        s_idx = s_idx[np.asarray(sphere_order)]
     q_idx = np.nonzero(qvl)[0]
     ns, nq = _pad8(len(s_idx)), _pad8(len(q_idx))
 

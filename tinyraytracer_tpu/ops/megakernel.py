@@ -59,6 +59,75 @@ _MISS = 3.0e38
 _TWO_PI = 6.283185307179586
 _INV_2_24 = float(1.0 / (1 << 24))
 
+# Sphere count at which the kernel switches from dense all-spheres tests to
+# the two-level cluster march (see _build_clusters). Dense wins for small
+# scenes (no per-iteration overhead); the march wins once the (Ns, TR)
+# candidate matrix dominates the bounce.
+CLUSTER_MIN_SPHERES = 64
+_CLUSTER_P = 8       # spheres per cluster == compacted sublane group
+
+
+def _morton_order(centers: np.ndarray) -> np.ndarray:
+    """Spatial sort: Morton (Z-order) indices of sphere centers.
+
+    The reference reaches spatial coherence through its BVH build
+    (bvh.rs:42-84); for the megakernel's cluster march a Morton sort gives
+    the same property — nearby spheres land in the same cluster — without
+    a tree. 10 bits/axis over the scene bbox."""
+    lo = centers.min(axis=0)
+    span = np.maximum(centers.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centers - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable")
+
+
+def _build_clusters(cs: CompactScene):
+    """Cluster the compacted (Morton-ordered) spheres into groups of 8.
+
+    Returns (cmin (K,3), cmax (K,3), geo (32,K)) device arrays: cluster
+    AABBs over the *real* members (sphere bounds center±|r|, aabb.rs:13-19
+    padding) and per-cluster member geometry columns
+    rows 4p..4p+3 = [cx, cy, cz, r^2] of member p. All-inert clusters get
+    an empty AABB (min > max) so the slab test culls them outright. This
+    is the TPU-native analog of the reference's two-level Metal
+    acceleration structure (accelstructure.rs:23-67): level 1 = cluster
+    AABBs (vector slab tests), level 2 = per-lane front-to-back cluster
+    march with one-hot MXU gathers (ops/megakernel.py kernel)."""
+    p = _CLUSTER_P
+    ns = cs.ns
+    k = ns // p
+    c = np.asarray(cs.sph_c)                      # (ns, 3), inert rows 1e30
+    r2 = np.asarray(cs.sph_r2)[:, 0]
+    r = np.sqrt(r2)
+    real = c[:, 0] < 1e29
+    cmin = np.full((k, 3), 1.0, np.float32)
+    cmax = np.full((k, 3), -1.0, np.float32)      # empty (never hit)
+    for ki in range(k):
+        m = real[ki * p:(ki + 1) * p]
+        if not m.any():
+            continue
+        cc = c[ki * p:(ki + 1) * p][m]
+        rr = r[ki * p:(ki + 1) * p][m][:, None]
+        cmin[ki] = (cc - rr).min(axis=0) - 5e-5
+        cmax[ki] = (cc + rr).max(axis=0) + 5e-5
+    geo = np.zeros((4 * p, k), np.float32)
+    for pi in range(p):
+        rows = np.arange(k) * p + pi
+        geo[4 * pi + 0] = c[rows, 0]
+        geo[4 * pi + 1] = c[rows, 1]
+        geo[4 * pi + 2] = c[rows, 2]
+        geo[4 * pi + 3] = r2[rows]
+    return jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(geo)
+
 
 # --- in-kernel counter RNG: identical streams to ops/rng.py ----------------
 
@@ -101,7 +170,8 @@ def _normalize3(x, y, z):
 
 
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
-                 has_sph: bool, has_quad: bool, early_exit: bool = False):
+                 has_sph: bool, has_quad: bool, early_exit: bool = False,
+                 n_clusters: int = 0):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
@@ -131,9 +201,12 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         quad_n_ref, quad_dp_ref, quad_av_ref, quad_ca_ref,
         quad_bv_ref, quad_cb_ref,
         pay_ref,        # (16, NA) f32 ACTIVE payload rows (see _payload_matrix)
-        # output
-        out_ref,        # (3, TR) f32 mean radiance
+        # optional cluster tables (present iff n_clusters > 0)
+        *cluster_refs,  # cmin (K,3), cmax (K,3), geo (32,K) + out_ref last
     ):
+        out_ref = cluster_refs[-1]   # (3, TR) f32 mean radiance
+        if n_clusters:
+            cmin_ref, cmax_ref, geo_ref = cluster_refs[:3]
         tr = pid_ref.shape[1]
         pid = pid_ref[0:1, :]
         px = px_ref[0:1, :]
@@ -174,35 +247,146 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         n_act = (ns if has_sph else 0) + (nq if has_quad else 0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (n_act, tr), 0)
 
+        def _sphere_rows_test(ocx, ocy, ocz, dx, dy, dz, r2v):
+            """Shared sphere quadratic: candidate t rows, MISS when none."""
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c_term = ocx * ocx + ocy * ocy + ocz * ocz - r2v
+            disc = half_b * half_b - c_term
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -half_b - sq
+            t1 = -half_b + sq
+            ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
+                           jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+            return jnp.where(disc >= 0.0, ts, _MISS)
+
+        def _quad_best(ox, oy, oz, dx, dy, dz):
+            den = qnx * dx + qny * dy + qnz * dz
+            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+            tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
+            al = (avx * ox + avy * oy + avz * oz) + tq * (
+                avx * dx + avy * dy + avz * dz) - qca
+            be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
+                bvx * dx + bvy * dy + bvz * dz) - qcb
+            ok = ((tq >= _T_MIN) & (tq < _MISS)
+                  & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
+            return jnp.where(ok, tq, _MISS)
+
+        if n_clusters:
+            k_ids = jax.lax.broadcasted_iota(jnp.int32, (n_clusters, tr), 0)
+            ccx0 = cmin_ref[:, 0:1]
+            ccy0 = cmin_ref[:, 1:2]
+            ccz0 = cmin_ref[:, 2:3]
+            ccx1 = cmax_ref[:, 0:1]
+            ccy1 = cmax_ref[:, 1:2]
+            ccz1 = cmax_ref[:, 2:3]
+
+        def _cluster_march(ox, oy, oz, dx, dy, dz, best_t0, row0):
+            """Front-to-back per-lane cluster walk over the sphere blocks.
+
+            Level 1: slab-test all K cluster AABBs (vector, aabb.rs:36-61
+            semantics). Level 2: each lane repeatedly takes its nearest
+            unvisited cluster whose entry-t still precedes its best hit,
+            gathers that cluster's 8 spheres with a one-hot MXU matmul,
+            and tests them. A lane stops as soon as no remaining cluster
+            can beat its best hit — the closest-hit narrowing of
+            bvh.rs:96-101, vectorized. Bounded by K iterations, with a
+            whole-tile skip once every lane is done."""
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-24, 1e-24, dx)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-24, 1e-24, dy)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-24, 1e-24, dz)
+            tx0 = (ccx0 - ox) * inv_dx
+            tx1 = (ccx1 - ox) * inv_dx
+            ty0 = (ccy0 - oy) * inv_dy
+            ty1 = (ccy1 - oy) * inv_dy
+            tz0 = (ccz0 - oz) * inv_dz
+            tz1 = (ccz1 - oz) * inv_dz
+            near = (jnp.maximum(jnp.minimum(tx0, tx1),
+                    jnp.maximum(jnp.minimum(ty0, ty1),
+                                jnp.minimum(tz0, tz1))))
+            far = (jnp.minimum(jnp.maximum(tx0, tx1),
+                   jnp.minimum(jnp.maximum(ty0, ty1),
+                               jnp.maximum(tz0, tz1))))
+            lo = jnp.maximum(near, _T_MIN)
+            hi = far
+            entry = jnp.where(lo <= hi, lo, _MISS)       # (K, TR)
+
+            def step_body(st):
+                best_t, row_f, entry = st
+                cur = jnp.min(entry, axis=0, keepdims=True)       # (1,TR)
+                kidx = jnp.min(
+                    jnp.where(entry == cur, k_ids, n_clusters),
+                    axis=0, keepdims=True,
+                )
+                act = cur < best_t                                 # (1,TR)
+                one_k = ((k_ids == kidx) & act).astype(jnp.float32)
+                sel = jax.lax.dot_general(
+                    geo_ref[:, :], one_k,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                                  # (32,TR)
+                kbase = (kidx * _CLUSTER_P).astype(jnp.float32)
+                for p in range(_CLUSTER_P):
+                    scx_ = sel[4 * p + 0:4 * p + 1, :]
+                    scy_ = sel[4 * p + 1:4 * p + 2, :]
+                    scz_ = sel[4 * p + 2:4 * p + 3, :]
+                    sr2_ = sel[4 * p + 3:4 * p + 4, :]
+                    tp = _sphere_rows_test(
+                        ox - scx_, oy - scy_, oz - scz_,
+                        dx, dy, dz, sr2_,
+                    )
+                    upd = act & (tp < best_t)
+                    best_t = jnp.where(upd, tp, best_t)
+                    row_f = jnp.where(upd, kbase + float(p), row_f)
+                entry = jnp.where(one_k > 0.5, _MISS, entry)
+                return best_t, row_f, entry
+
+            def step(i, st):
+                best_t, _row_f, entry = st
+                pending = jnp.max(
+                    (jnp.min(entry, axis=0, keepdims=True) < best_t)
+                    .astype(jnp.float32)
+                )
+                return jax.lax.cond(pending > 0.5, step_body, lambda s: s, st)
+
+            st = (best_t0, row0, entry)
+            best_t, row_f, _ = jax.lax.fori_loop(0, n_clusters, step, st)
+            return best_t, row_f
+
         def closest_hit(ox, oy, oz, dx, dy, dz):
             """(1,TR)x6 -> best_t (1,TR), onehot (NA,TR), hit (1,TR)."""
+            if n_clusters:
+                if has_quad:
+                    tq = _quad_best(ox, oy, oz, dx, dy, dz)
+                    bq = jnp.min(tq, axis=0, keepdims=True)
+                    qrow = jnp.min(
+                        jnp.where(tq == bq,
+                                  jax.lax.broadcasted_iota(
+                                      jnp.int32, (nq, tr), 0) + ns,
+                                  n_act),
+                        axis=0, keepdims=True,
+                    ).astype(jnp.float32)
+                    best0, row0 = bq, qrow
+                else:
+                    best0 = jnp.full((1, tr), _MISS, jnp.float32)
+                    row0 = jnp.full((1, tr), float(n_act), jnp.float32)
+                best_t, row_f = _cluster_march(
+                    ox, oy, oz, dx, dy, dz, best0, row0)
+                first = row_f.astype(jnp.int32)
+                onehot = (row_ids == first).astype(jnp.float32)
+                hit = best_t < _MISS
+                return best_t, onehot, hit
+
             parts = []
             if has_sph:
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                half_b = ocx * dx + ocy * dy + ocz * dz
-                c_term = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = half_b * half_b - c_term
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t0 = -half_b - sq
-                t1 = -half_b + sq
-                ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
-                               jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
-                parts.append(jnp.where(disc >= 0.0, ts, _MISS))
-
+                # Direct oc = o - c form: an MXU-expanded variant
+                # ((Ns,3)@(3,TR) matmuls) was measured SLOWER on v5e
+                # (cfg4: 3.8 vs 5.6 Mrays/s) — K=3 matmuls per bounce
+                # cost more than the 6 VPU ops they replace.
+                parts.append(_sphere_rows_test(
+                    ox - cx, oy - cy, oz - cz, dx, dy, dz, r2))
             if has_quad:
-                den = qnx * dx + qny * dy + qnz * dz
-                den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-                tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
-                al = (avx * ox + avy * oy + avz * oz) + tq * (
-                    avx * dx + avy * dy + avz * dz) - qca
-                be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
-                    bvx * dx + bvy * dy + bvz * dz) - qcb
-                ok = ((tq >= _T_MIN) & (tq < _MISS)
-                      & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
-                parts.append(jnp.where(ok, tq, _MISS))
-
+                parts.append(_quad_best(ox, oy, oz, dx, dy, dz))
             t_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             best_t = jnp.min(t_all, axis=0, keepdims=True)
             first = jnp.min(
@@ -427,7 +611,7 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
     """
     ns, nq = cs.ns, cs.nq
     n = ns + nq
-    pay = np.zeros((16, n), np.float32)
+    pay = np.zeros((24, n), np.float32)
     idx = np.asarray(cs.index_map)
     sph_n_total = np.asarray(scene.sph_center).shape[0]
 
@@ -435,6 +619,7 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
     pay[1, :ns] = sph_c[:, 0]
     pay[2, :ns] = sph_c[:, 1]
     pay[3, :ns] = sph_c[:, 2]
+    pay[16, :ns] = np.asarray(cs.sph_r2)[:, 0]
 
     qn = np.asarray(cs.quad_n)
     qlen = np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-30)
@@ -490,28 +675,17 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
 
 def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                 spp, max_bounces, has_sph, has_quad, interpret,
-                early_exit=False):
+                early_exit=False, clusters=None, tile_rays=None):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
+    tr = tile_rays or TILE_RAYS
     rp = pid.shape[1]
-    g = rp // TILE_RAYS
+    g = rp // tr
+    n_clusters = clusters[0].shape[0] if clusters is not None else 0
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
-                          early_exit)
+                          early_exit, n_clusters)
     tile = lambda i: (0, i)
-    return pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_RAYS), tile, memory_space=pltpu.VMEM),
-        ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)],
-        out_specs=pl.BlockSpec((3, TILE_RAYS), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, rp), jnp.float32),
-        interpret=interpret,
-    )(
+    n_scene = 9 + (3 if clusters is not None else 0)
+    operands = [
         cam_vec,
         ctl,
         pid, px, py,
@@ -519,7 +693,24 @@ def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
         cs.quad_n, cs.quad_dp, cs.quad_av, cs.quad_ca,
         cs.quad_bv, cs.quad_cb,
         pay_active,
-    )
+    ]
+    if clusters is not None:
+        operands += list(clusters)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_scene)],
+        out_specs=pl.BlockSpec((3, tr), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, rp), jnp.float32),
+        interpret=interpret,
+    )(*operands)
 
 
 def _active_payload(cs: CompactScene, pay):
@@ -543,7 +734,7 @@ def _pixel_arrays(width: int, height: int, rp: int):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "early_exit"),
+                     "early_exit", "tile_rays"),
 )
 def _render_flat(
     cs: CompactScene,
@@ -557,21 +748,24 @@ def _render_flat(
     height: int,
     interpret: bool = False,
     early_exit: bool = False,
+    clusters=None,
+    tile_rays: int = 0,
 ):
+    tr = tile_rays or TILE_RAYS
     npix = width * height
-    rp = ((npix + TILE_RAYS - 1) // TILE_RAYS) * TILE_RAYS
+    rp = ((npix + tr - 1) // tr) * tr
     pid, px, py = _pixel_arrays(width, height, rp)
     pay_active, has_sph, has_quad = _active_payload(cs, pay)
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                         spp, max_bounces, has_sph, has_quad, interpret,
-                        early_exit)
+                        early_exit, clusters, tr)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "mesh", "early_exit"),
+                     "mesh", "early_exit", "tile_rays"),
 )
 def _render_flat_sharded(
     cs: CompactScene,
@@ -586,6 +780,8 @@ def _render_flat_sharded(
     mesh,
     interpret: bool = False,
     early_exit: bool = False,
+    clusters=None,
+    tile_rays: int = 0,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
@@ -600,29 +796,30 @@ def _render_flat_sharded(
         raise ValueError(f"spp={spp} not divisible by sample axis {n_sample}")
     spp_local = spp // n_sample
 
+    tr = tile_rays or TILE_RAYS
     npix = width * height
-    chunk = TILE_RAYS * n_tile
+    chunk = tr * n_tile
     rp = ((npix + chunk - 1) // chunk) * chunk
     pid, px, py = _pixel_arrays(width, height, rp)
     pay_active, has_sph, has_quad = _active_payload(cs, pay)
 
-    def body(cs, pay_active, cam_vec, ctl, pid, px, py):
+    def body(cs, pay_active, cam_vec, ctl, pid, px, py, clusters):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
-                            interpret, early_exit)
+                            interpret, early_exit, clusters, tr)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
-                  P(None, TILE_AXIS)),
+                  P(None, TILE_AXIS), P()),
         out_specs=P(None, TILE_AXIS),
         check_vma=False,
     )
-    color = f(cs, pay_active, cam_vec, ctl, pid, px, py)
+    color = f(cs, pay_active, cam_vec, ctl, pid, px, py, clusters)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
@@ -630,10 +827,29 @@ class MegakernelRenderer:
     """Scene-bound fast forward renderer (one kernel launch per image)."""
 
     def __init__(self, scene: SceneArrays, camera: Camera, background,
-                 interpret: bool = False):
+                 interpret: bool = False, use_clusters: bool | None = None):
         self.scene = scene
         self.camera = camera
-        self.cs = compact_scene(scene)
+        n_sph_real = int(np.asarray(scene.sph_valid).sum())
+        if use_clusters is None:
+            # Measured on v5e (cfg4, 512 spheres): the march's per-iteration
+            # overhead (argmin + pending scan over (K, TR)) costs more than
+            # the dense MXU-expanded screen it avoids — 1.1 vs 5.6 Mrays/s —
+            # so the dense path stays the default at every size. The march
+            # is kept opt-in for future tuning (fewer, fatter clusters).
+            use_clusters = False
+        if use_clusters and n_sph_real:
+            # Morton-order the spheres so 8-row clusters are spatially
+            # tight, then build the two-level acceleration tables.
+            centers = np.asarray(scene.sph_center)[
+                np.asarray(scene.sph_valid)
+            ]
+            order = _morton_order(centers)
+            self.cs = compact_scene(scene, sphere_order=order)
+            self.clusters = _build_clusters(self.cs)
+        else:
+            self.cs = compact_scene(scene)
+            self.clusters = None
         self.pay = _payload_matrix(scene, self.cs)
         self.cam_vec = _camera_vector(camera, background)
         self.interpret = interpret
@@ -645,9 +861,15 @@ class MegakernelRenderer:
         self._bg_open = float(np.max(np.asarray(background))) > 0.01
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
-               spp_offset: int = 0, mesh=None, early_exit=None):
+               spp_offset: int = 0, mesh=None, early_exit=None,
+               tile_rays: int = 0):
         if early_exit is None:
             early_exit = self._bg_open
+        if not tile_rays:
+            # Early-exit scenes want small tiles: the exit fires when the
+            # whole tile is dead, and the max path length over 256 lanes is
+            # far shorter than over 1024 (measured cfg4: 4.1 -> 5.6 Mrays/s).
+            tile_rays = 256 if early_exit else TILE_RAYS
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,
@@ -665,6 +887,8 @@ class MegakernelRenderer:
                 mesh=mesh,
                 interpret=self.interpret,
                 early_exit=early_exit,
+                clusters=self.clusters,
+                tile_rays=tile_rays,
             )
         return _render_flat(
             self.cs,
@@ -677,6 +901,8 @@ class MegakernelRenderer:
             height=self.camera.height,
             interpret=self.interpret,
             early_exit=early_exit,
+            clusters=self.clusters,
+            tile_rays=tile_rays,
         )
 
 
