@@ -212,6 +212,30 @@ def test_silhouette_recovers_sphere_position():
     assert err < 0.5, f"center error {err:.3f} after 100 steps (started at 4.0)"
 
 
+def test_gradients_finite_across_seeds():
+    """Regression guard for the round-1 NaN: raw render_loss gradients
+    (no sanitizer) must be finite across many sample rounds on a geometry
+    fit scene with spheres near walls (the degenerate-sample class that
+    produced the TPU NaN)."""
+    world, camera, kw = __import__(
+        "tinyraytracer_tpu.models.presets", fromlist=["presets"]
+    ).cornell_spheres(width=20, height=20)
+    scene = world.build()
+    bg = jnp.asarray(kw["background"], jnp.float32)
+    target = jnp.zeros((20, 20, 3), jnp.float32)
+    params = scene_params(scene)
+    grad_fn = jax.jit(
+        lambda p, off: jax.grad(inverse.render_loss)(
+            p, scene, camera, target, spp=2, max_bounces=4, background=bg,
+            seed=jnp.uint32(17), spp_offset=off, nee=True, silhouette=True,
+        )
+    )
+    for off in range(0, 40, 2):
+        g = grad_fn(params, jnp.uint32(off))
+        for k, v in g.items():
+            assert bool(jnp.isfinite(v).all()), (k, off)
+
+
 def test_checkpoint_roundtrip(tmp_path, down_scene):
     scene, camera = down_scene
     target = np.zeros((H, W, 3), np.float32)
