@@ -73,11 +73,21 @@ def main() -> None:
         result[key + "_wall_s"] = round(dt, 3)
         if preset == "cornell_box":
             fwd_rays = rate
-            # Cornell runs the full budget on every lane (enclosed scene).
+            # Regen kernel: lanes execute ~mean path length segments, not
+            # the budget — measure the mean empirically (survival curve of
+            # a cheap low-spp modular trace) so pct_sol reflects work the
+            # kernel actually did.
             ns_rows = r.cs.ns if r.cs.n_sph_real else 0
             nq_rows = r.cs.nq if r.cs.n_quad_real else 0
+            est_world, est_cam, est_kw = presets.cornell_box(
+                width=150, height=150)
+            mean_b = sol.mean_executed_bounces(
+                est_world.build(), est_cam, max_bounces=mb,
+                background=est_kw["background"], spp=2,
+            )
+            result["cornell_mean_executed_bounces"] = round(mean_b, 2)
             result["pct_sol_cornell_vpu_roofline"] = round(
-                sol.pct_of_sol(rate, ns_rows, nq_rows, mb), 3
+                sol.pct_of_sol(rate, ns_rows, nq_rows, mean_b), 3
             )
 
     # --- forward+backward: fused differentiable kernel ------------------

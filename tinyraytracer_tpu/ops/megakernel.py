@@ -59,10 +59,11 @@ _MISS = 3.0e38
 _TWO_PI = 6.283185307179586
 _INV_2_24 = float(1.0 / (1 << 24))
 
-# Sphere count at which the kernel switches from dense all-spheres tests to
-# the two-level cluster march (see _build_clusters). Dense wins for small
-# scenes (no per-iteration overhead); the march wins once the (Ns, TR)
-# candidate matrix dominates the bounce.
+# Sphere count below which the opt-in cluster cull (see _build_clusters)
+# refuses to engage. NOTE: measured on v5e the cull loses at every tested
+# size (cfg4: 1.32 vs dense 6.01 Mrays/s) — whole-tile `cond` skips are
+# too expensive relative to the 8-sphere blocks they avoid — so dense is
+# the default and the cull is opt-in only (use_clusters=True).
 CLUSTER_MIN_SPHERES = 64
 _CLUSTER_P = 8       # spheres per cluster == compacted sublane group
 
@@ -93,15 +94,17 @@ def _morton_order(centers: np.ndarray) -> np.ndarray:
 def _build_clusters(cs: CompactScene):
     """Cluster the compacted (Morton-ordered) spheres into groups of 8.
 
-    Returns (cmin (K,3), cmax (K,3), geo (32,K)) device arrays: cluster
-    AABBs over the *real* members (sphere bounds center±|r|, aabb.rs:13-19
-    padding) and per-cluster member geometry columns
-    rows 4p..4p+3 = [cx, cy, cz, r^2] of member p. All-inert clusters get
-    an empty AABB (min > max) so the slab test culls them outright. This
-    is the TPU-native analog of the reference's two-level Metal
-    acceleration structure (accelstructure.rs:23-67): level 1 = cluster
-    AABBs (vector slab tests), level 2 = per-lane front-to-back cluster
-    march with one-hot MXU gathers (ops/megakernel.py kernel)."""
+    Returns (cmin (K,3), cmax (K,3)) device arrays: cluster AABBs over the
+    *real* members (sphere bounds center±|r|, aabb.rs:13-19 padding).
+    All-inert clusters get an empty AABB (min > max) so the slab test culls
+    them outright. This is the TPU-native analog of the reference's
+    two-level Metal acceleration structure (accelstructure.rs:23-67):
+    level 1 = cluster AABBs (vector slab tests), level 2 = a static-order
+    unrolled loop over clusters where each cluster's 8 spheres (a static
+    8-sublane slice of the compacted arrays — no gather) are tested only
+    if some live lane's ray enters the cluster AABB before its current
+    best hit (the closest-hit narrowing of bvh.rs:96-101, at whole-tile
+    granularity)."""
     p = _CLUSTER_P
     ns = cs.ns
     k = ns // p
@@ -119,14 +122,7 @@ def _build_clusters(cs: CompactScene):
         rr = r[ki * p:(ki + 1) * p][m][:, None]
         cmin[ki] = (cc - rr).min(axis=0) - 5e-5
         cmax[ki] = (cc + rr).max(axis=0) + 5e-5
-    geo = np.zeros((4 * p, k), np.float32)
-    for pi in range(p):
-        rows = np.arange(k) * p + pi
-        geo[4 * pi + 0] = c[rows, 0]
-        geo[4 * pi + 1] = c[rows, 1]
-        geo[4 * pi + 2] = c[rows, 2]
-        geo[4 * pi + 3] = r2[rows]
-    return jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(geo)
+    return jnp.asarray(cmin), jnp.asarray(cmax)
 
 
 # --- in-kernel counter RNG: identical streams to ops/rng.py ----------------
@@ -171,21 +167,24 @@ def _normalize3(x, y, z):
 
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
-                 n_clusters: int = 0):
+                 n_clusters: int = 0, regen: bool = False):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
     the Cornell box (quads only) skips all sphere arithmetic, random-sphere
     scenes skip the quad block.
 
-    `early_exit` turns the bounce loop into a while_loop that stops when
-    every lane in the tile is dead. In *open* scenes (sky background) the
-    mean path length is a small fraction of the budget — config 4 runs
-    max_bounces=50 with ~3-bounce mean paths, so the fori_loop wastes >90%
-    of its iterations on dead lanes (measured: throughput scales ~1/budget).
-    Enclosed scenes (Cornell) keep most lanes alive to the budget, where the
-    per-bounce alive-reduce + lost pipelining costs ~10% — so this is a
-    per-scene choice (see MegakernelRenderer.render's auto rule).
+    `early_exit` makes each spp round's bounce fori skip its remaining
+    iterations once every lane in the tile is dead. In *open* scenes (sky
+    background) the mean path length is a small fraction of the budget —
+    config 4 runs max_bounces=50 with ~3-bounce mean paths, so the plain
+    fori wastes >90% of its iterations on dead lanes (measured: throughput
+    scales ~1/budget). It still pays spp x (longest path in tile).
+
+    `regen` replaces the spp x bounce loop nest entirely with per-lane
+    sample regeneration (see the loop's comment block) — the stronger form
+    of the same idea, costing ~ spp x *mean* path per lane. The two flags
+    are mutually exclusive (`regen` wins).
     """
 
     def kernel(
@@ -206,7 +205,7 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
     ):
         out_ref = cluster_refs[-1]   # (3, TR) f32 mean radiance
         if n_clusters:
-            cmin_ref, cmax_ref, geo_ref = cluster_refs[:3]
+            cmin_ref, cmax_ref = cluster_refs[:2]
         tr = pid_ref.shape[1]
         pid = pid_ref[0:1, :]
         px = px_ref[0:1, :]
@@ -272,7 +271,6 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             return jnp.where(ok, tq, _MISS)
 
         if n_clusters:
-            k_ids = jax.lax.broadcasted_iota(jnp.int32, (n_clusters, tr), 0)
             ccx0 = cmin_ref[:, 0:1]
             ccy0 = cmin_ref[:, 1:2]
             ccz0 = cmin_ref[:, 2:3]
@@ -280,17 +278,18 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             ccy1 = cmax_ref[:, 1:2]
             ccz1 = cmax_ref[:, 2:3]
 
-        def _cluster_march(ox, oy, oz, dx, dy, dz, best_t0, row0):
-            """Front-to-back per-lane cluster walk over the sphere blocks.
+        def _cluster_cull(ox, oy, oz, dx, dy, dz, alive, best_t0, row0):
+            """Static-order cull over the 8-sphere cluster blocks.
 
-            Level 1: slab-test all K cluster AABBs (vector, aabb.rs:36-61
-            semantics). Level 2: each lane repeatedly takes its nearest
-            unvisited cluster whose entry-t still precedes its best hit,
-            gathers that cluster's 8 spheres with a one-hot MXU matmul,
-            and tests them. A lane stops as soon as no remaining cluster
-            can beat its best hit — the closest-hit narrowing of
-            bvh.rs:96-101, vectorized. Bounded by K iterations, with a
-            whole-tile skip once every lane is done."""
+            Level 1: slab-test all K cluster AABBs at once (vector,
+            aabb.rs:36-61 semantics) giving per-lane entry t's. Level 2:
+            an unrolled loop over clusters; cluster k's 8 spheres — a
+            static 8-sublane slice of the compacted columns, no gather —
+            are tested only when some live lane enters its AABB before
+            that lane's current best hit (whole-tile `cond` skip). No
+            per-lane ordering state: the earlier per-lane front-to-back
+            march was measured 5x slower (its per-iteration argmin +
+            one-hot MXU gathers out-cost the dense tests it avoided)."""
             inv_dx = 1.0 / jnp.where(jnp.abs(dx) < 1e-24, 1e-24, dx)
             inv_dy = 1.0 / jnp.where(jnp.abs(dy) < 1e-24, 1e-24, dy)
             inv_dz = 1.0 / jnp.where(jnp.abs(dz) < 1e-24, 1e-24, dz)
@@ -307,53 +306,40 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                    jnp.minimum(jnp.maximum(ty0, ty1),
                                jnp.maximum(tz0, tz1))))
             lo = jnp.maximum(near, _T_MIN)
-            hi = far
-            entry = jnp.where(lo <= hi, lo, _MISS)       # (K, TR)
+            entry = jnp.where(lo <= far, lo, _MISS)       # (K, TR)
+            live = alive.astype(jnp.float32)              # (1, TR)
 
-            def step_body(st):
-                best_t, row_f, entry = st
-                cur = jnp.min(entry, axis=0, keepdims=True)       # (1,TR)
-                kidx = jnp.min(
-                    jnp.where(entry == cur, k_ids, n_clusters),
-                    axis=0, keepdims=True,
-                )
-                act = cur < best_t                                 # (1,TR)
-                one_k = ((k_ids == kidx) & act).astype(jnp.float32)
-                sel = jax.lax.dot_general(
-                    geo_ref[:, :], one_k,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                                  # (32,TR)
-                kbase = (kidx * _CLUSTER_P).astype(jnp.float32)
-                for p in range(_CLUSTER_P):
-                    scx_ = sel[4 * p + 0:4 * p + 1, :]
-                    scy_ = sel[4 * p + 1:4 * p + 2, :]
-                    scz_ = sel[4 * p + 2:4 * p + 3, :]
-                    sr2_ = sel[4 * p + 3:4 * p + 4, :]
-                    tp = _sphere_rows_test(
-                        ox - scx_, oy - scy_, oz - scz_,
-                        dx, dy, dz, sr2_,
-                    )
-                    upd = act & (tp < best_t)
-                    best_t = jnp.where(upd, tp, best_t)
-                    row_f = jnp.where(upd, kbase + float(p), row_f)
-                entry = jnp.where(one_k > 0.5, _MISS, entry)
-                return best_t, row_f, entry
+            best_t, row_f = best_t0, row0
+            for k in range(n_clusters):
+                s0 = k * _CLUSTER_P
 
-            def step(i, st):
-                best_t, _row_f, entry = st
-                pending = jnp.max(
-                    (jnp.min(entry, axis=0, keepdims=True) < best_t)
-                    .astype(jnp.float32)
-                )
-                return jax.lax.cond(pending > 0.5, step_body, lambda s: s, st)
+                def test_cluster(st, s0=s0):
+                    bt, rf = st
+                    c8x = sph_c_ref[s0:s0 + _CLUSTER_P, 0:1]
+                    c8y = sph_c_ref[s0:s0 + _CLUSTER_P, 1:2]
+                    c8z = sph_c_ref[s0:s0 + _CLUSTER_P, 2:3]
+                    r28 = sph_r2_ref[s0:s0 + _CLUSTER_P, 0:1]
+                    ts = _sphere_rows_test(
+                        ox - c8x, oy - c8y, oz - c8z, dx, dy, dz, r28)
+                    bt8 = jnp.min(ts, axis=0, keepdims=True)
+                    rows8 = jax.lax.broadcasted_iota(
+                        jnp.int32, (_CLUSTER_P, tr), 0) + s0
+                    first8 = jnp.min(
+                        jnp.where(ts == bt8, rows8, n_act),
+                        axis=0, keepdims=True,
+                    ).astype(jnp.float32)
+                    upd = bt8 < bt
+                    return (jnp.where(upd, bt8, bt),
+                            jnp.where(upd, first8, rf))
 
-            st = (best_t0, row0, entry)
-            best_t, row_f, _ = jax.lax.fori_loop(0, n_clusters, step, st)
+                wanted = jnp.max(
+                    jnp.where(entry[k:k + 1, :] < best_t, live, 0.0))
+                best_t, row_f = jax.lax.cond(
+                    wanted > 0.5, test_cluster, lambda st: st,
+                    (best_t, row_f))
             return best_t, row_f
 
-        def closest_hit(ox, oy, oz, dx, dy, dz):
+        def closest_hit(ox, oy, oz, dx, dy, dz, alive):
             """(1,TR)x6 -> best_t (1,TR), onehot (NA,TR), hit (1,TR)."""
             if n_clusters:
                 if has_quad:
@@ -370,8 +356,8 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 else:
                     best0 = jnp.full((1, tr), _MISS, jnp.float32)
                     row0 = jnp.full((1, tr), float(n_act), jnp.float32)
-                best_t, row_f = _cluster_march(
-                    ox, oy, oz, dx, dy, dz, best0, row0)
+                best_t, row_f = _cluster_cull(
+                    ox, oy, oz, dx, dy, dz, alive, best0, row0)
                 first = row_f.astype(jnp.int32)
                 onehot = (row_ids == first).astype(jnp.float32)
                 hit = best_t < _MISS
@@ -396,8 +382,8 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             hit = best_t < _MISS
             return best_t, onehot, hit
 
-        def sample_body(s, acc):
-            sample_id = spp_offset + s.astype(jnp.uint32)
+        def gen_camera_ray(sample_id):
+            """Camera ray for `sample_id` ((1,TR) u32 or scalar u32)."""
             r1, r2_, r3, r4 = _uniform4(pid, sample_id, jnp.uint32(0), seed)
             # pointgen.rs:41-42 (w-1)/(h-1) normalization
             u = (px + r1) * inv_w1
@@ -412,20 +398,22 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             ty = ul_y + u * hy - v * vy - oy
             tz = ul_z + u * hz - v * vz - oz
             dx, dy, dz = _normalize3(tx, ty, tz)   # ray.rs:13
+            return ox, oy, oz, dx, dy, dz
 
-            tput_r = jnp.ones((1, tr), jnp.float32)
-            tput_g = jnp.ones((1, tr), jnp.float32)
-            tput_b = jnp.ones((1, tr), jnp.float32)
-            col_r = jnp.zeros((1, tr), jnp.float32)
-            col_g = jnp.zeros((1, tr), jnp.float32)
-            col_b = jnp.zeros((1, tr), jnp.float32)
-            alive_f = jnp.ones((1, tr), jnp.float32)  # bool carries crash Mosaic
+        def bounce_step(sample_id, bctr, st):
+                """One bounce (cpu.rs:47-62) for every live lane.
 
-            def bounce_body(b, st):
+                `sample_id`/`bctr` are uint32 — scalars on the classic
+                all-lanes-in-lockstep path, (1, TR) vectors on the
+                regeneration path where each lane owns its (sample, bounce)
+                position. The arithmetic is identical either way (PCG4D
+                broadcasts), so the two paths produce bit-identical
+                per-lane streams."""
                 (ox, oy, oz, dx, dy, dz,
                  tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f) = st
-                best_t, onehot, hit = closest_hit(ox, oy, oz, dx, dy, dz)
                 alive = alive_f > 0.5
+                best_t, onehot, hit = closest_hit(ox, oy, oz, dx, dy, dz,
+                                                  alive)
                 hit_live = alive & hit
                 miss_live = alive & ~hit
 
@@ -481,7 +469,7 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
 
                 # scatter randomness: stream 1 + bounce (ops/scatter.py)
                 u1, u2, u3, u4 = _uniform4(
-                    pid, sample_id, jnp.uint32(1) + b.astype(jnp.uint32), seed
+                    pid, sample_id, jnp.uint32(1) + bctr, seed
                 )
                 # uniform in unit ball, inverse CDF (vec3extend.rs:15-30)
                 theta = _TWO_PI * u1
@@ -562,37 +550,137 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 return (ox, oy, oz, dx, dy, dz,
                         tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
 
-            st = (ox, oy, oz, dx, dy, dz,
-                  tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f)
-            if early_exit:
-                # Bounded fori with a conditional skip: once every lane in
-                # the tile is dead, the remaining iterations take the empty
-                # branch (a reduce + branch, ~free). Chosen over a
-                # while_loop: same savings, provably terminates.
-                def bounce_or_skip(b, st):
-                    return jax.lax.cond(
-                        jnp.max(st[12]) > 0.5,
-                        lambda s: bounce_body(b, s),
-                        lambda s: s,
-                        st,
-                    )
+        zeros = lambda: jnp.zeros((1, tr), jnp.float32)
+        ones = lambda: jnp.ones((1, tr), jnp.float32)
 
-                st = jax.lax.fori_loop(0, max_bounces, bounce_or_skip, st)
-            else:
-                # In enclosed scenes most lanes live to the budget: the
-                # alive-check would never fire and costs ~10% in reduce +
-                # lost loop pipelining.
-                st = jax.lax.fori_loop(0, max_bounces, bounce_body, st)
-            col_r, col_g, col_b = st[9], st[10], st[11]
-            ar, ag, ab = acc
-            return (ar + col_r, ag + col_g, ab + col_b)
+        if regen:
+            # --- sample-regeneration ("persistent lanes") main loop ------
+            # The classic path runs spp rounds of a max_bounces fori, so a
+            # tile pays spp x (longest path in tile) bounces even though the
+            # mean path is far shorter (cfg4: throughput scaled ~1/budget —
+            # mb=50: 5.97 vs mb=6: 23.68 Mrays/s). Here each lane owns its
+            # own (sample, bounce) cursor: the moment its path dies it folds
+            # the sample into its accumulator and immediately starts its
+            # next camera ray. All lanes stay busy until the tile's total
+            # work (~ spp x mean path, not spp x max path) is done; per-lane
+            # op sequences are identical to the classic path, so the image
+            # is bit-identical. This is the TPU answer to the GPU wavefront
+            # path tracers' ray-regeneration stage — done with pure per-lane
+            # selects, no compaction, no cross-lane traffic except the
+            # one scalar while-condition reduce per bounce.
+            fspp = float(spp)
+            fmb = float(max_bounces)
 
-        acc0 = (
-            jnp.zeros((1, tr), jnp.float32),
-            jnp.zeros((1, tr), jnp.float32),
-            jnp.zeros((1, tr), jnp.float32),
-        )
-        ar, ag, ab = jax.lax.fori_loop(0, spp, sample_body, acc0)
+            def loop_cond(st):
+                return jnp.min(st[0]) < fspp
+
+            def loop_body(st):
+                (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                 acc_r, acc_g, acc_b, alive_f) = st
+
+                # fold the finished sample, start the next one (per lane)
+                need = alive_f < 0.5
+                acc_r = jnp.where(need, acc_r + col_r, acc_r)
+                acc_g = jnp.where(need, acc_g + col_g, acc_g)
+                acc_b = jnp.where(need, acc_b + col_b, acc_b)
+                samp_f = jnp.where(need, samp_f + 1.0, samp_f)
+                start = need & (samp_f < fspp)
+                # f32 -> i32 -> u32: sample counters stay < 2^24, exact
+                samp_u = spp_offset + jnp.maximum(samp_f, 0.0).astype(
+                    jnp.int32).astype(jnp.uint32)
+                gox, goy, goz, gdx, gdy, gdz = gen_camera_ray(samp_u)
+                ox = jnp.where(start, gox, ox)
+                oy = jnp.where(start, goy, oy)
+                oz = jnp.where(start, goz, oz)
+                dx = jnp.where(start, gdx, dx)
+                dy = jnp.where(start, gdy, dy)
+                dz = jnp.where(start, gdz, dz)
+                col_r = jnp.where(need, 0.0, col_r)
+                col_g = jnp.where(need, 0.0, col_g)
+                col_b = jnp.where(need, 0.0, col_b)
+                tput_r = jnp.where(start, 1.0, tput_r)
+                tput_g = jnp.where(start, 1.0, tput_g)
+                tput_b = jnp.where(start, 1.0, tput_b)
+                bnc_f = jnp.where(start, 0.0, bnc_f)
+                alive_f = jnp.where(start, 1.0, alive_f)
+
+                # one bounce for whoever is live
+                was_alive = alive_f
+                bctr = bnc_f.astype(jnp.int32).astype(jnp.uint32)
+                (ox, oy, oz, dx, dy, dz,
+                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                 alive_f) = bounce_step(
+                    samp_u, bctr,
+                    (ox, oy, oz, dx, dy, dz,
+                     tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f))
+                # budget exhaustion kills with NO background add
+                # (cpu.rs:47-62)
+                bnc_f = bnc_f + was_alive
+                alive_f = jnp.where(bnc_f < fmb, alive_f, 0.0)
+                return (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+                        tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                        acc_r, acc_g, acc_b, alive_f)
+
+            # v0 is a lane-VARYING zero: splat-constant carries get a
+            # lane-replicated Mosaic layout that the loop body's
+            # lane-varying updates can't relayout back to ("Invalid
+            # relayout ... replicated in destination but not in source"),
+            # so every carry is seeded through it.
+            v0 = px * 0.0
+            z0 = lambda: v0
+            o0 = lambda: v0 + 1.0
+            st0 = (
+                v0 - 1.0,                               # samp: pre-first
+                z0(),                                   # bounce counter
+                z0(), z0(), z0(),                       # o (regen'd first)
+                z0(), z0(), o0(),                       # d (inert +z)
+                o0(), o0(), o0(),                       # throughput
+                z0(), z0(), z0(),                       # sample color
+                z0(), z0(), z0(),                       # accumulator
+                z0(),                                   # dead -> regen
+            )
+            st = jax.lax.while_loop(loop_cond, loop_body, st0)
+            ar, ag, ab = st[14], st[15], st[16]
+        else:
+            def sample_body(s, acc):
+                sample_id = spp_offset + s.astype(jnp.uint32)
+                ox, oy, oz, dx, dy, dz = gen_camera_ray(sample_id)
+                st = (ox, oy, oz, dx, dy, dz,
+                      ones(), ones(), ones(),           # throughput
+                      zeros(), zeros(), zeros(),        # color
+                      ones())                           # alive (f32: bool
+                                                        # carries crash
+                                                        # Mosaic)
+
+                def bounce_body(b, st):
+                    return bounce_step(sample_id, b.astype(jnp.uint32), st)
+
+                if early_exit:
+                    # Bounded fori with a conditional skip: once every lane
+                    # in the tile is dead, the remaining iterations take the
+                    # empty branch (a reduce + branch, ~free). Chosen over a
+                    # while_loop: same savings, provably terminates.
+                    def bounce_or_skip(b, st):
+                        return jax.lax.cond(
+                            jnp.max(st[12]) > 0.5,
+                            lambda s: bounce_body(b, s),
+                            lambda s: s,
+                            st,
+                        )
+
+                    st = jax.lax.fori_loop(0, max_bounces, bounce_or_skip, st)
+                else:
+                    # In enclosed scenes most lanes live to the budget: the
+                    # alive-check would never fire and costs ~10% in reduce
+                    # + lost loop pipelining.
+                    st = jax.lax.fori_loop(0, max_bounces, bounce_body, st)
+                col_r, col_g, col_b = st[9], st[10], st[11]
+                ar, ag, ab = acc
+                return (ar + col_r, ag + col_g, ab + col_b)
+
+            acc0 = (zeros(), zeros(), zeros())
+            ar, ag, ab = jax.lax.fori_loop(0, spp, sample_body, acc0)
         inv = 1.0 / float(spp)
         out_ref[0:1, :] = ar * inv
         out_ref[1:2, :] = ag * inv
@@ -675,16 +763,17 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
 
 def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                 spp, max_bounces, has_sph, has_quad, interpret,
-                early_exit=False, clusters=None, tile_rays=None):
+                early_exit=False, clusters=None, tile_rays=None,
+                regen=False):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
     tr = tile_rays or TILE_RAYS
     rp = pid.shape[1]
     g = rp // tr
     n_clusters = clusters[0].shape[0] if clusters is not None else 0
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
-                          early_exit, n_clusters)
+                          early_exit, n_clusters, regen)
     tile = lambda i: (0, i)
-    n_scene = 9 + (3 if clusters is not None else 0)
+    n_scene = 9 + (2 if clusters is not None else 0)
     operands = [
         cam_vec,
         ctl,
@@ -731,10 +820,45 @@ def _pixel_arrays(width: int, height: int, rp: int):
     return pid.reshape(1, rp), px, py
 
 
+@functools.lru_cache(maxsize=32)
+def _block_pixel_arrays(width: int, height: int, tile_rays: int):
+    """Square-block pixel ordering for early-exit scenes.
+
+    The in-kernel all-dead exit is tile-granular: a tile pays the *longest*
+    path among its lanes. Flat ordering makes a tile a thin w-pixel strip
+    whose frustum mixes sky rays (die at bounce 1) with deep paths; a
+    square block (16x16 for 256 lanes) is spatially compact, so whole sky
+    tiles die immediately and the per-tile max path tracks the local mean.
+    Returns (pid (1,RP), px, py, inv (npix,), rp): `inv` maps pixel id ->
+    ray index (edge blocks pad with clamped duplicate pixels, which
+    recompute the same pixel bit-identically — RNG keys off pid alone)."""
+    bw = 16 if tile_rays <= 512 else 32
+    bh = tile_rays // bw
+    nbx = -(-width // bw)
+    nby = -(-height // bh)
+    rp = nbx * nby * tile_rays
+    i = np.arange(rp)
+    blk, lane = i // tile_rays, i % tile_rays
+    x = np.minimum((blk % nbx) * bw + lane % bw, width - 1)
+    y = np.minimum((blk // nbx) * bh + lane // bw, height - 1)
+    pid = (y * width + x).astype(np.uint32)
+    inv = np.zeros(width * height, np.int32)
+    inv[pid[::-1]] = np.arange(rp - 1, -1, -1, dtype=np.int32)
+    # numpy only: jnp constants created here would leak tracers when this
+    # cache is hit from inside a different jit trace.
+    return (
+        pid.reshape(1, rp),
+        x.astype(np.float32).reshape(1, rp),
+        y.astype(np.float32).reshape(1, rp),
+        inv,
+        rp,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "early_exit", "tile_rays"),
+                     "early_exit", "tile_rays", "regen"),
 )
 def _render_flat(
     cs: CompactScene,
@@ -750,22 +874,34 @@ def _render_flat(
     early_exit: bool = False,
     clusters=None,
     tile_rays: int = 0,
+    regen: bool = False,
 ):
     tr = tile_rays or TILE_RAYS
     npix = width * height
+    pay_active, has_sph, has_quad = _active_payload(cs, pay)
+    if early_exit or regen:
+        # Both tile-exit and regeneration finish a tile when its slowest
+        # lane finishes — square blocks keep tile path lengths coherent.
+        pid, px, py, inv, rp = _block_pixel_arrays(width, height, tr)
+        color = _run_kernel(cs, pay_active, cam_vec, ctl,
+                            jnp.asarray(pid), jnp.asarray(px),
+                            jnp.asarray(py),
+                            spp, max_bounces, has_sph, has_quad, interpret,
+                            early_exit, clusters, tr, regen)
+        return jnp.take(color, jnp.asarray(inv),
+                        axis=1).T.reshape(height, width, 3)
     rp = ((npix + tr - 1) // tr) * tr
     pid, px, py = _pixel_arrays(width, height, rp)
-    pay_active, has_sph, has_quad = _active_payload(cs, pay)
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                         spp, max_bounces, has_sph, has_quad, interpret,
-                        early_exit, clusters, tr)
+                        early_exit, clusters, tr, regen)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "mesh", "early_exit", "tile_rays"),
+                     "mesh", "early_exit", "tile_rays", "regen"),
 )
 def _render_flat_sharded(
     cs: CompactScene,
@@ -782,6 +918,7 @@ def _render_flat_sharded(
     early_exit: bool = False,
     clusters=None,
     tile_rays: int = 0,
+    regen: bool = False,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
@@ -808,7 +945,7 @@ def _render_flat_sharded(
         ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
-                            interpret, early_exit, clusters, tr)
+                            interpret, early_exit, clusters, tr, regen)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
@@ -832,11 +969,12 @@ class MegakernelRenderer:
         self.camera = camera
         n_sph_real = int(np.asarray(scene.sph_valid).sum())
         if use_clusters is None:
-            # Measured on v5e (cfg4, 512 spheres): the march's per-iteration
-            # overhead (argmin + pending scan over (K, TR)) costs more than
-            # the dense MXU-expanded screen it avoids — 1.1 vs 5.6 Mrays/s —
-            # so the dense path stays the default at every size. The march
-            # is kept opt-in for future tuning (fewer, fatter clusters).
+            # Dense stays the default at every size: on v5e (cfg4, 512
+            # spheres) the static-order cluster cull measured 1.32 vs the
+            # dense path's 6.01 Mrays/s — each whole-tile `cond` +
+            # cross-lane `wanted` reduce costs far more than the 8-sphere
+            # block it can skip, and bounced (incoherent) rays want most
+            # clusters anyway. Kept opt-in for future tuning.
             use_clusters = False
         if use_clusters and n_sph_real:
             # Morton-order the spheres so 8-row clusters are spatially
@@ -862,14 +1000,25 @@ class MegakernelRenderer:
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
                spp_offset: int = 0, mesh=None, early_exit=None,
-               tile_rays: int = 0):
+               tile_rays: int = 0, regen=None):
+        if regen is None:
+            # Sample regeneration is the default everywhere: each lane pays
+            # ~ spp x mean path length instead of spp x (tile max path), a
+            # win whenever paths end before the budget — open scenes (sky
+            # misses) AND enclosed ones (light absorption). Classic lockstep
+            # rounds remain reachable with regen=False (+ early_exit for
+            # the tile-granular skip).
+            regen = True
         if early_exit is None:
-            early_exit = self._bg_open
+            early_exit = False if regen else self._bg_open
         if not tile_rays:
-            # Early-exit scenes want small tiles: the exit fires when the
-            # whole tile is dead, and the max path length over 256 lanes is
-            # far shorter than over 1024 (measured cfg4: 4.1 -> 5.6 Mrays/s).
-            tile_rays = 256 if early_exit else TILE_RAYS
+            # Regen amortizes stragglers over spp whole samples, so it
+            # wants FULL tiles for per-op sublane efficiency (measured
+            # Cornell 600^2: tr=256 38.9 / 512 57.6 / 1024 78.0 Mrays/s;
+            # cfg4: 1024 > 2048). Classic early-exit fires only when the
+            # whole tile is dead and wants small tiles instead (measured
+            # cfg4: 4.1 at 1024 -> 5.6 at 256).
+            tile_rays = 256 if (early_exit and not regen) else TILE_RAYS
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,
@@ -889,6 +1038,7 @@ class MegakernelRenderer:
                 early_exit=early_exit,
                 clusters=self.clusters,
                 tile_rays=tile_rays,
+                regen=regen,
             )
         return _render_flat(
             self.cs,
@@ -903,6 +1053,7 @@ class MegakernelRenderer:
             early_exit=early_exit,
             clusters=self.clusters,
             tile_rays=tile_rays,
+            regen=regen,
         )
 
 

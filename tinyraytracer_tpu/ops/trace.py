@@ -62,8 +62,14 @@ def trace(
     interpret: bool = False,
     nee: bool = False,
     silhouette: bool = False,
+    count_alive: bool = False,
 ):
     """Path-trace a ray wavefront. Returns (R, 3) linear radiance.
+
+    `count_alive=True` additionally returns the per-bounce alive ray
+    counts (max_bounces,) f32 — the path-length histogram's survival
+    curve, used by the roofline model (utils/sol.py) to compute the mean
+    number of bounce segments actually executed per camera ray.
 
     origins/directions: (R,3) with unit directions; pixel_id: (R,) u32;
     sample_id: scalar u32; background: (3,) f32.
@@ -182,13 +188,17 @@ def trace(
             color[:, 0], color[:, 1], color[:, 2],
             alive, prev_diffuse,
         )
-        return out, None
+        return out, (jnp.sum(alive.astype(jnp.float32))
+                     if count_alive else None)
 
     if remat:
         body = jax.checkpoint(body, policy=_SAVE_SELECT)
     bounces = jnp.arange(max_bounces, dtype=jnp.uint32)
-    fin, _ = jax.lax.scan(body, init, bounces)
-    return jnp.stack([fin[9], fin[10], fin[11]], axis=-1)
+    fin, ys = jax.lax.scan(body, init, bounces)
+    colors = jnp.stack([fin[9], fin[10], fin[11]], axis=-1)
+    if count_alive:
+        return colors, ys
+    return colors
 
 
 def _silhouette_factor(scene, o, d, t_sel, j, alive):

@@ -51,8 +51,46 @@ def ops_per_camera_ray(n_sph_rows: int, n_quad_rows: int,
 
 def pct_of_sol(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
                bounces_executed: float) -> float:
-    """Fraction of the VPU compute roofline the measured rate achieves."""
+    """Fraction of the VPU compute roofline the measured rate achieves.
+
+    With the regeneration kernel (ops/megakernel.py regen=True) lanes stop
+    paying for dead bounces, so `bounces_executed` must be the *mean
+    executed segments per camera ray* (see mean_executed_bounces), not the
+    bounce budget — passing the budget would credit the kernel for work it
+    deliberately skipped.
+    """
     achieved = rays_per_sec * ops_per_camera_ray(
         n_sph_rows, n_quad_rows, bounces_executed
     )
     return achieved / VPU_F32_OPS_PER_SEC
+
+
+def mean_executed_bounces(scene, camera, *, max_bounces: int, background,
+                          spp: int = 2, seed: int = 0) -> float:
+    """Empirical mean bounce segments per camera ray for this scene.
+
+    Traces a low-spp wavefront with the modular path (ops/trace.py,
+    count_alive=True) and integrates the survival curve: executed
+    segments = 1 (the guaranteed first bounce) + sum_b alive_after(b).
+    The path-length distribution is camera/scene geometry, independent of
+    resolution to first order, so a cheap low-spp estimate serves the
+    roofline denominator for any render size of the same scene.
+    """
+    import jax.numpy as jnp
+
+    from tinyraytracer_tpu.models.camera import generate_rays
+    from tinyraytracer_tpu.ops.trace import trace
+
+    npix = camera.width * camera.height
+    alive_total = 0.0
+    for s in range(spp):
+        pid = jnp.arange(npix, dtype=jnp.uint32)
+        o, d = generate_rays(camera, pid, jnp.uint32(s), jnp.uint32(seed))
+        _, alive_counts = trace(
+            scene, o, d, pid, jnp.uint32(s), jnp.uint32(seed),
+            max_bounces=max_bounces, background=jnp.asarray(background),
+            count_alive=True,
+        )
+        # alive_after(max_bounces-1) rays execute no further segment.
+        alive_total += float(jnp.sum(alive_counts[:-1]))
+    return 1.0 + alive_total / (npix * spp)
