@@ -15,7 +15,7 @@ not bitwise: we compare gamma-encoded u8 images on
     geometry/camera misalignment immediately),
 with tolerances scaled to the golden's own per-pixel MC noise at its spp.
 
-Run:  python scripts/golden_check.py [--spp-scale N] [--only NAME]
+Run:  python scripts/golden_check.py [--reps N] [--only NAME]
 Exit code 0 = all pass. Renders use the default Renderer (megakernel on
 TPU, modular elsewhere).
 """
@@ -75,7 +75,20 @@ def block_means(img: np.ndarray, block: int = BLOCK) -> np.ndarray:
 
 
 def compare(name, golden_path, preset, width, height, spp, mb,
-            mean_tol, block_tol, spp_scale=1) -> bool:
+            mean_tol, block_tol, reps=1) -> bool:
+    """Seed-averaged EQUAL-spp comparison.
+
+    The u8 pipeline (clamp + gamma 2.2, image.rs:92-110) is concave, so a
+    noisy render's u8 mean is inflated relative to the converged image
+    (Jensen) — by several u8 at the goldens' low spp. Comparing a
+    higher-spp render against a low-spp golden therefore diverges as OUR
+    noise shrinks (measured: render_test mean gap 3.5 u8 at spp 2x, 8.6 at
+    32x). The estimator that actually matches "statistically at equal
+    sample counts" (BASELINE.md) renders at the golden's OWN spp — same
+    per-pixel noise distribution, same gamma bias — and averages `reps`
+    independent seeds of it in u8 domain to shrink our side of the MC
+    error while leaving the per-render distribution untouched.
+    """
     from PIL import Image as PILImage
 
     from tinyraytracer_tpu.models import presets
@@ -83,13 +96,17 @@ def compare(name, golden_path, preset, width, height, spp, mb,
 
     golden = np.asarray(PILImage.open(golden_path)).astype(np.float64)
     world, camera, kw = presets.PRESETS[preset](width=width, height=height)
-    r = Renderer(
-        samples_per_pixel=spp * spp_scale,
-        max_bounces=mb,
-        background_color=kw["background"],
-        seed=12345,
-    )
-    ours = r.render(camera, world).to_u8().astype(np.float64)
+    acc = None
+    for k in range(reps):
+        r = Renderer(
+            samples_per_pixel=spp,
+            max_bounces=mb,
+            background_color=kw["background"],
+            seed=12345 + 977 * k,
+        )
+        img = r.render(camera, world).to_u8().astype(np.float64)
+        acc = img if acc is None else acc + img
+    ours = acc / reps
     assert ours.shape == golden.shape, (ours.shape, golden.shape)
 
     mean_diff = np.abs(ours.mean(axis=(0, 1)) - golden.mean(axis=(0, 1)))
@@ -109,8 +126,10 @@ def compare(name, golden_path, preset, width, height, spp, mb,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--spp-scale", type=int, default=1,
-                    help="multiply each config's spp (lower our MC noise)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="independent equal-spp renders averaged in u8 "
+                         "domain (reduces our MC error without changing "
+                         "the per-render noise distribution)")
     ap.add_argument("--only", default=None)
     ap.add_argument("--report", default=None,
                     help="write a markdown PASS table here (e.g. GOLDEN_r02.md)")
@@ -120,7 +139,7 @@ def main() -> int:
     for cfg in CONFIGS:
         if args.only and cfg[0] != args.only:
             continue
-        passed, detail = compare(*cfg, spp_scale=args.spp_scale)
+        passed, detail = compare(*cfg, reps=args.reps)
         ok &= passed
         rows.append((cfg[0], "PASS" if passed else "FAIL", detail))
     if args.report:
@@ -129,9 +148,10 @@ def main() -> int:
         lines = [
             "# Golden parity vs reference renders",
             "",
-            f"Device: {jax.devices()[0].platform}; spp-scale "
-            f"{args.spp_scale}; statistical comparison (the reference RNG "
-            "is unseedable — see scripts/golden_check.py).",
+            f"Device: {jax.devices()[0].platform}; equal-spp renders, "
+            f"{args.reps} seed reps averaged in u8 domain; statistical "
+            "comparison (the reference RNG is unseedable — see "
+            "scripts/golden_check.py).",
             "",
             "| golden | result | detail |",
             "|---|---|---|",
