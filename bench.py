@@ -114,6 +114,11 @@ def main() -> None:
         f"cornell {bw}x{bh} spp={bspp} mb={bmb} fused-kernel train step "
         "(render+MSE+full backward+adam)"
     )
+    # BASELINE config 5 is the inverse-rendering task; its throughput IS
+    # the fwd+bwd rate above (recovery quality is gated by
+    # tests/test_diff.py and examples/inverse_render.py).
+    result["cfg5_inverse_render_fwdbwd_rays_per_sec"] = result[
+        "fwdbwd_rays_per_sec"]
 
     result.update(
         metric="fwd_camera_rays_per_sec_per_chip_cornell600_spp200",

@@ -32,6 +32,18 @@ def test_megakernel_matches_modular(name):
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
 
 
+def test_regen_edge_budgets():
+    """spp=1 and max_bounces=1 exercise the regeneration loop's fold /
+    budget boundaries (first-iteration regen, immediate budget kill)."""
+    world, camera, kw = presets.three_spheres(width=16, height=12)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"], interpret=True)
+    for spp, mb in ((1, 4), (2, 1), (1, 1)):
+        classic = r.render(spp=spp, max_bounces=mb, seed=2, regen=False)
+        regen = r.render(spp=spp, max_bounces=mb, seed=2, regen=True)
+        np.testing.assert_array_equal(np.asarray(regen), np.asarray(classic))
+
+
 @pytest.mark.parametrize("name", ["cornell_spheres", "three_spheres"])
 def test_regen_matches_classic(name):
     """The sample-regeneration loop (persistent lanes) must be bitwise
