@@ -41,6 +41,9 @@ def main(argv=None) -> int:
                     choices=("auto", "bvh", "none"))
     ap.add_argument("--sample-parallel", type=int, default=1,
                     help="devices cooperating on the same pixels")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a JAX/XLA profiler trace of the render "
+                         "into DIR (view with TensorBoard or Perfetto)")
     args = ap.parse_args(argv)
 
     import jax
@@ -70,7 +73,13 @@ def main(argv=None) -> int:
         accelerator=args.accelerator,
     )
     t0 = time.perf_counter()
-    image = renderer.render(camera, world)
+    if args.profile:
+        from tinyraytracer_tpu.utils.profiling import trace as profile_trace
+
+        with profile_trace(args.profile):
+            image = renderer.render(camera, world)
+    else:
+        image = renderer.render(camera, world)
     dt = time.perf_counter() - t0
     rays = args.width * args.height * args.spp
     print(f"{args.preset}: {args.width}x{args.height} spp={args.spp} "
