@@ -165,6 +165,128 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _shade_bounce(ox, oy, oz, dx, dy, dz,
+                  tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                  alive, best_t, hit,
+                  w_isq, w_ax, w_ay, w_az, w_kind,
+                  w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
+                  u1, u2, u3, u4, bg_r, bg_g, bg_b):
+    """One bounce's shading given the winner payload (cpu.rs:47-62).
+
+    Shape-agnostic: every array argument shares one shape — (1, TR) in the
+    classic lane-row kernel, (S, L) in the sublane-packed kernel — so both
+    layouts run the exact same op sequence per lane (bit-identical images).
+    `w_a*` is the normal source: the quad's unit plane normal when
+    `w_isq > 0.5`, the sphere center otherwise (hittable/mod.rs:34-40 does
+    the face flip here). `u1..u4` are this bounce's scatter uniforms.
+    Returns the post-bounce (o, d, throughput, color, alive_f) state.
+    """
+    hit_live = alive & hit
+    miss_live = alive & ~hit
+
+    t = jnp.where(hit, best_t, 1.0)
+    p_x = ox + t * dx
+    p_y = oy + t * dy
+    p_z = oz + t * dz
+    # outward normal: quad -> unit plane normal, sphere -> p - c
+    onx = jnp.where(w_isq > 0.5, w_ax, p_x - w_ax)
+    ony = jnp.where(w_isq > 0.5, w_ay, p_y - w_ay)
+    onz = jnp.where(w_isq > 0.5, w_az, p_z - w_az)
+    onx, ony, onz = _normalize3(onx, ony, onz)
+    # hittable/mod.rs:34-40 face flip
+    front = (dx * onx + dy * ony + dz * onz) < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx_ = onx * sgn
+    ny_ = ony * sgn
+    nz_ = onz * sgn
+
+    # cpu.rs:58-60 miss -> background; cpu.rs:49-50 emission
+    mlf = miss_live.astype(jnp.float32)
+    hlf = hit_live.astype(jnp.float32)
+    col_r = col_r + mlf * tput_r * bg_r + hlf * tput_r * w_er
+    col_g = col_g + mlf * tput_g * bg_g + hlf * tput_g * w_eg
+    col_b = col_b + mlf * tput_b * bg_b + hlf * tput_b * w_eb
+
+    # uniform in unit ball, inverse CDF (vec3extend.rs:15-30)
+    theta = _TWO_PI * u1
+    cphi = 1.0 - 2.0 * u2
+    sphi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cphi * cphi))
+    # ops/rng.py cbrt: exp(log/3) (Mosaic has no cbrt primitive)
+    rr = jnp.exp(jnp.log(jnp.maximum(u3, 1e-30)) * (1.0 / 3.0))
+    bx = rr * sphi * jnp.cos(theta)
+    by = rr * sphi * jnp.sin(theta)
+    bz = rr * cphi
+    bnorm = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
+    ux_ = bx * bnorm
+    uy_ = by * bnorm
+    uz_ = bz * bnorm
+
+    # Lambertian (lambertian.rs:16-22)
+    lx = nx_ + ux_
+    ly = ny_ + uy_
+    lz = nz_ + uz_
+    degen = (jnp.abs(lx) < 1e-7) & (jnp.abs(ly) < 1e-7) & (jnp.abs(lz) < 1e-7)
+    lx = jnp.where(degen, nx_, lx)
+    ly = jnp.where(degen, ny_, ly)
+    lz = jnp.where(degen, nz_, lz)
+
+    # Metal (metal.rs:18-25)
+    ddn = dx * nx_ + dy * ny_ + dz * nz_
+    rx = dx - 2.0 * ddn * nx_
+    ry = dy - 2.0 * ddn * ny_
+    rz = dz - 2.0 * ddn * nz_
+    mx = rx + w_fuzz * bx
+    my = ry + w_fuzz * by
+    mz = rz + w_fuzz * bz
+
+    # Dielectric (dielectric.rs:26-46)
+    eta = jnp.where(front, 1.0 / w_ior, w_ior)
+    cos = jnp.minimum(-(nx_ * dx + ny_ * dy + nz_ * dz), 1.0)
+    sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos * cos))
+    tir = eta * sin > 1.0
+    sr0 = (1.0 - eta) / (1.0 + eta)
+    r0 = sr0 * sr0
+    refl = r0 + (1.0 - r0) * (1.0 - cos) ** 5
+    choose_reflect = tir | (refl > u4)
+    # refract (vec3extend.rs:79-84)
+    px_ = eta * (dx + nx_ * cos)
+    py2 = eta * (dy + ny_ * cos)
+    pz_ = eta * (dz + nz_ * cos)
+    plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
+    # Same 1e-12 floor as ops/scatter.py refract: keeps the two
+    # paths bit-identical at grazing incidence.
+    par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen2), 1e-12))
+    fx = px_ + par * nx_
+    fy = py2 + par * ny_
+    fz = pz_ + par * nz_
+    gx = jnp.where(choose_reflect, rx, fx)
+    gy = jnp.where(choose_reflect, ry, fy)
+    gz = jnp.where(choose_reflect, rz, fz)
+
+    is_lam = w_kind < 0.5
+    is_met = (w_kind >= 0.5) & (w_kind < 1.5)
+    sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
+    sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
+    sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
+    sx, sy, sz = _normalize3(sx, sy, sz)
+
+    absorbed = w_kind >= 2.5          # LIGHT = 3
+    scat = hit_live & ~absorbed
+    sf = scat.astype(jnp.float32)
+    inv_sf = 1.0 - sf
+    tput_r = tput_r * (inv_sf + sf * w_ar)
+    tput_g = tput_g * (inv_sf + sf * w_ag)
+    tput_b = tput_b * (inv_sf + sf * w_ab)
+    ox = jnp.where(scat, p_x, ox)
+    oy = jnp.where(scat, p_y, oy)
+    oz = jnp.where(scat, p_z, oz)
+    dx = jnp.where(scat, sx, dx)
+    dy = jnp.where(scat, sy, dy)
+    dz = jnp.where(scat, sz, dz)
+    return (ox, oy, oz, dx, dy, dz,
+            tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
+
+
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
                  n_clusters: int = 0, regen: bool = False):
@@ -414,8 +536,6 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 alive = alive_f > 0.5
                 best_t, onehot, hit = closest_hit(ox, oy, oz, dx, dy, dz,
                                                   alive)
-                hit_live = alive & hit
-                miss_live = alive & ~hit
 
                 # winner payload: one-hot column selection as a single
                 # (16, NA) @ (NA, TR) matmul — the MXU does the gather the
@@ -428,12 +548,14 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                     precision=jax.lax.Precision.HIGHEST,
                 )                                   # (16, TR)
                 w_isq = payw[0:1, :]
-                w_cx = payw[1:2, :]
-                w_cy = payw[2:3, :]
-                w_cz = payw[3:4, :]
-                w_nx = payw[4:5, :]
-                w_ny = payw[5:6, :]
-                w_nz = payw[6:7, :]
+                # normal source: quad -> unit plane normal rows, sphere ->
+                # center rows. Exactly one is nonzero per column (the
+                # payload matrix zero-fills the other kind's rows), and
+                # selection-before-subtraction is value-identical to the
+                # old subtract-then-select (see _shade_bounce).
+                w_ax = jnp.where(w_isq > 0.5, payw[4:5, :], payw[1:2, :])
+                w_ay = jnp.where(w_isq > 0.5, payw[5:6, :], payw[2:3, :])
+                w_az = jnp.where(w_isq > 0.5, payw[6:7, :], payw[3:4, :])
                 w_kind = payw[7:8, :]
                 w_ar = payw[8:9, :]
                 w_ag = payw[9:10, :]
@@ -444,111 +566,17 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                 w_eg = payw[14:15, :]
                 w_eb = payw[15:16, :]
 
-                t = jnp.where(hit, best_t, 1.0)
-                p_x = ox + t * dx
-                p_y = oy + t * dy
-                p_z = oz + t * dz
-                # outward normal: quad -> unit plane normal, sphere -> p - c
-                onx = jnp.where(w_isq > 0.5, w_nx, p_x - w_cx)
-                ony = jnp.where(w_isq > 0.5, w_ny, p_y - w_cy)
-                onz = jnp.where(w_isq > 0.5, w_nz, p_z - w_cz)
-                onx, ony, onz = _normalize3(onx, ony, onz)
-                # hittable/mod.rs:34-40 face flip
-                front = (dx * onx + dy * ony + dz * onz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                nx_ = onx * sgn
-                ny_ = ony * sgn
-                nz_ = onz * sgn
-
-                # cpu.rs:58-60 miss -> background; cpu.rs:49-50 emission
-                mlf = miss_live.astype(jnp.float32)
-                hlf = hit_live.astype(jnp.float32)
-                col_r = col_r + mlf * tput_r * bg_r + hlf * tput_r * w_er
-                col_g = col_g + mlf * tput_g * bg_g + hlf * tput_g * w_eg
-                col_b = col_b + mlf * tput_b * bg_b + hlf * tput_b * w_eb
-
                 # scatter randomness: stream 1 + bounce (ops/scatter.py)
                 u1, u2, u3, u4 = _uniform4(
                     pid, sample_id, jnp.uint32(1) + bctr, seed
                 )
-                # uniform in unit ball, inverse CDF (vec3extend.rs:15-30)
-                theta = _TWO_PI * u1
-                cphi = 1.0 - 2.0 * u2
-                sphi = jnp.sqrt(jnp.maximum(0.0, 1.0 - cphi * cphi))
-                # ops/rng.py cbrt: exp(log/3) (Mosaic has no cbrt primitive)
-                rr = jnp.exp(jnp.log(jnp.maximum(u3, 1e-30)) * (1.0 / 3.0))
-                bx = rr * sphi * jnp.cos(theta)
-                by = rr * sphi * jnp.sin(theta)
-                bz = rr * cphi
-                bnorm = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
-                ux_ = bx * bnorm
-                uy_ = by * bnorm
-                uz_ = bz * bnorm
-
-                # Lambertian (lambertian.rs:16-22)
-                lx = nx_ + ux_
-                ly = ny_ + uy_
-                lz = nz_ + uz_
-                degen = (jnp.abs(lx) < 1e-7) & (jnp.abs(ly) < 1e-7) & (jnp.abs(lz) < 1e-7)
-                lx = jnp.where(degen, nx_, lx)
-                ly = jnp.where(degen, ny_, ly)
-                lz = jnp.where(degen, nz_, lz)
-
-                # Metal (metal.rs:18-25)
-                ddn = dx * nx_ + dy * ny_ + dz * nz_
-                rx = dx - 2.0 * ddn * nx_
-                ry = dy - 2.0 * ddn * ny_
-                rz = dz - 2.0 * ddn * nz_
-                mx = rx + w_fuzz * bx
-                my = ry + w_fuzz * by
-                mz = rz + w_fuzz * bz
-
-                # Dielectric (dielectric.rs:26-46)
-                eta = jnp.where(front, 1.0 / w_ior, w_ior)
-                cos = jnp.minimum(-(nx_ * dx + ny_ * dy + nz_ * dz), 1.0)
-                sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos * cos))
-                tir = eta * sin > 1.0
-                sr0 = (1.0 - eta) / (1.0 + eta)
-                r0 = sr0 * sr0
-                refl = r0 + (1.0 - r0) * (1.0 - cos) ** 5
-                choose_reflect = tir | (refl > u4)
-                # refract (vec3extend.rs:79-84)
-                px_ = eta * (dx + nx_ * cos)
-                py2 = eta * (dy + ny_ * cos)
-                pz_ = eta * (dz + nz_ * cos)
-                plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
-                # Same 1e-12 floor as ops/scatter.py refract: keeps the two
-                # paths bit-identical at grazing incidence.
-                par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen2), 1e-12))
-                fx = px_ + par * nx_
-                fy = py2 + par * ny_
-                fz = pz_ + par * nz_
-                gx = jnp.where(choose_reflect, rx, fx)
-                gy = jnp.where(choose_reflect, ry, fy)
-                gz = jnp.where(choose_reflect, rz, fz)
-
-                is_lam = w_kind < 0.5
-                is_met = (w_kind >= 0.5) & (w_kind < 1.5)
-                sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
-                sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
-                sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
-                sx, sy, sz = _normalize3(sx, sy, sz)
-
-                absorbed = w_kind >= 2.5          # LIGHT = 3
-                scat = hit_live & ~absorbed
-                sf = scat.astype(jnp.float32)
-                inv_sf = 1.0 - sf
-                tput_r = tput_r * (inv_sf + sf * w_ar)
-                tput_g = tput_g * (inv_sf + sf * w_ag)
-                tput_b = tput_b * (inv_sf + sf * w_ab)
-                ox = jnp.where(scat, p_x, ox)
-                oy = jnp.where(scat, p_y, oy)
-                oz = jnp.where(scat, p_z, oz)
-                dx = jnp.where(scat, sx, dx)
-                dy = jnp.where(scat, sy, dy)
-                dz = jnp.where(scat, sz, dz)
-                return (ox, oy, oz, dx, dy, dz,
-                        tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
+                return _shade_bounce(
+                    ox, oy, oz, dx, dy, dz,
+                    tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                    alive, best_t, hit,
+                    w_isq, w_ax, w_ay, w_az, w_kind,
+                    w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
+                    u1, u2, u3, u4, bg_r, bg_g, bg_b)
 
         zeros = lambda: jnp.zeros((1, tr), jnp.float32)
         ones = lambda: jnp.ones((1, tr), jnp.float32)
@@ -991,6 +1019,7 @@ class MegakernelRenderer:
         self.pay = _payload_matrix(scene, self.cs)
         self.cam_vec = _camera_vector(camera, background)
         self.interpret = interpret
+        self._packed = None    # lazy (SMEM table, prims) for the packed path
         # Auto early-exit rule: a bright background marks an *open* scene
         # (sky) whose rays escape after a few bounces — the all-dead exit
         # fires long before the budget. Near-black backgrounds mark enclosed
@@ -1000,7 +1029,31 @@ class MegakernelRenderer:
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
                spp_offset: int = 0, mesh=None, early_exit=None,
-               tile_rays: int = 0, regen=None):
+               tile_rays: int = 0, regen=None, packed=None):
+        if packed is None:
+            # Sublane-packed layout: default for small scenes (the per-ray
+            # chain dominates there and packing fills 8x the VPU per op);
+            # large scenes keep the classic candidate matrix, whose sublane
+            # rows are the primitives themselves.
+            from tinyraytracer_tpu.ops import megakernel_packed as mkp
+            n_real = self.cs.n_sph_real + self.cs.n_quad_real
+            packed = (regen is not False and mesh is None
+                      and self.clusters is None and not tile_rays
+                      and n_real <= mkp.PACKED_MAX_PRIMS)
+        if packed:
+            from tinyraytracer_tpu.ops import megakernel_packed as mkp
+            if self._packed is None:
+                self._packed = mkp.scene_table(self.cs, self.pay)
+            tab, prims = self._packed
+            ctl = jnp.asarray(
+                [[np.int32(np.uint32(seed)),
+                  np.int32(np.uint32(spp_offset)), 0, 0]], jnp.int32)
+            return mkp._render_packed(
+                tab, self.cam_vec, ctl,
+                spp=spp, max_bounces=max_bounces,
+                width=self.camera.width, height=self.camera.height,
+                prims=prims, s=mkp.PACKED_SUBLANES, l=mkp.PACKED_LANES,
+                interpret=self.interpret)
         if regen is None:
             # Sample regeneration is the default everywhere: each lane pays
             # ~ spp x mean path length instead of spp x (tile max path), a
