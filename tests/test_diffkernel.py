@@ -123,3 +123,35 @@ def test_image_matches_modular_nee_render():
     # All but the rare tie-flipped samples must agree to roundoff.
     assert d.mean() < 5e-4, d.mean()
     assert (rel > 1e-3).mean() < 0.02, (rel > 1e-3).mean()
+
+
+@pytest.mark.parametrize("scene_name", ["cornell_spheres", "mixed"])
+def test_packed_matches_classic(scene_name):
+    """The sublane-packed kernel (ops/diffkernel_packed.py) is the same
+    estimator in an (S, L) layout: image bitwise-equal, every gradient
+    field equal to fp-reassociation error (the scatter MXU sums lanes in
+    a different order)."""
+    from tinyraytracer_tpu.ops.diffkernel_packed import (
+        render_value_and_grad_packed,
+    )
+
+    if scene_name == "cornell_spheres":
+        world, cam, kw = presets.cornell_spheres(width=16, height=16)
+        scene, bg = world.build(), kw["background"]
+    else:
+        scene, cam, bg = _mixed_world()
+    rng = np.random.RandomState(0)
+    target = rng.rand(cam.height, cam.width, 3).astype(np.float32) * 0.5
+    kws = dict(spp=2, max_bounces=3, background=bg, seed=3)
+    loss_c, img_c, g_c = render_value_and_grad(
+        scene, cam, target, interpret=True, packed=False, **kws)
+    loss_p, img_p, g_p = render_value_and_grad_packed(
+        scene, cam, target, interpret=True, tile=(8, 128), **kws)
+    assert float(loss_c) == pytest.approx(float(loss_p), rel=1e-6)
+    assert np.abs(np.asarray(img_c) - np.asarray(img_p)).max() <= 1e-6
+    for k in GRAD_FIELDS + ("background",):
+        a = np.asarray(g_c[k])
+        b = np.asarray(g_p[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-4 * scale, (
+            k, np.abs(a - b).max(), scale)

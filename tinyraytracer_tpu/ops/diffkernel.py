@@ -1295,6 +1295,7 @@ def render_value_and_grad(
     silhouette: bool = True,
     interpret: bool = False,
     static: DiffStatic | None = None,
+    packed: bool | None = None,
 ):
     """Fused train objective: returns (loss, image, grads).
 
@@ -1304,10 +1305,35 @@ def render_value_and_grad(
     (same estimator, same RNG streams), computed in one kernel launch.
     Callable under jit: `scene` float fields may be traced; `static`
     (host structure) can be precomputed once per topology.
+
+    packed: route to the sublane-packed kernel (diffkernel_packed.py) —
+    same estimator and streams, (S, L) ray state. None = auto: packed
+    for compiled runs on scenes small enough to unroll, this classic
+    candidate-matrix kernel otherwise (and under interpret, where the
+    packed kernel's unrolled select chains trace slowly).
     """
     if static is None:
         static = build_diff_static(scene)
     st = static
+    if packed is None:
+        from tinyraytracer_tpu.ops.diffkernel_packed import (
+            DIFF_PACKED_MAX_PRIMS,
+        )
+
+        packed = (not interpret
+                  and len(st.sph_rows) + len(st.quad_rows)
+                  <= DIFF_PACKED_MAX_PRIMS)
+    if packed:
+        from tinyraytracer_tpu.ops.diffkernel_packed import (
+            render_value_and_grad_packed,
+        )
+
+        return render_value_and_grad_packed(
+            scene, camera, target, spp=spp, max_bounces=max_bounces,
+            background=background, seed=seed, spp_offset=spp_offset,
+            nee=nee, silhouette=silhouette, interpret=interpret,
+            static=static,
+        )
     w, h = camera.width, camera.height
     npix = w * h
     cam_vec = _camera_vector(camera, background)
@@ -1330,8 +1356,12 @@ def render_value_and_grad(
     )
     img = img_cols[:, :npix].T.reshape(h, w, 3)
     loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
+    grads = _grads_to_scene(scene, st, dsph, dquad, dmat, dlight, dmisc)
+    return loss, img, grads
 
-    # --- map compacted grads back to SceneArrays-shaped arrays --------
+
+def _grads_to_scene(scene, st, dsph, dquad, dmat, dlight, dmisc):
+    """Map compacted grad tables back to SceneArrays-shaped arrays."""
     ns_real = len(st.sph_rows)
     nq_real = len(st.quad_rows)
     g_sc = jnp.zeros_like(scene.sph_center)
@@ -1372,4 +1402,4 @@ def render_value_and_grad(
         "mat_emit": g_emit,
         "background": dmisc[0, 0:3],
     }
-    return loss, img, grads
+    return grads
