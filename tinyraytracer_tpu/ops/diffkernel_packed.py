@@ -72,9 +72,11 @@ from tinyraytracer_tpu.ops.megakernel import (
 
 # Tile shape. Smaller than the forward packed kernel's (32, 256): the
 # reverse sweep holds mb bounce-saves (14 arrays each) plus one bounce's
-# live shade intermediates in VMEM.
-DIFF_SUBLANES = int(_os.environ.get("TINYRT_DIFF_SUBLANES", "16"))
-DIFF_LANES = int(_os.environ.get("TINYRT_DIFF_LANES", "256"))
+# live shade intermediates in VMEM — (32, 256) exceeds it and fails to
+# compile. Measured on v5e at Cornell 300x300 spp=16 mb=8:
+# (16,256) 20.2, (8,512) 26.6 Mrays/s — wide lanes beat sublane rows.
+DIFF_SUBLANES = int(_os.environ.get("TINYRT_DIFF_SUBLANES", "8"))
+DIFF_LANES = int(_os.environ.get("TINYRT_DIFF_LANES", "512"))
 
 # Above this many real primitives the unrolled loop stops paying and the
 # classic candidate-matrix kernel takes over (same threshold rationale as
@@ -1346,6 +1348,12 @@ def render_value_and_grad_packed(
             jax.ShapeDtypeStruct((nl, 16), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the reverse sweep's bounce saves + live shade dict exceed
+            # the default scoped-VMEM budget for >=8192-ray tiles
+            vmem_limit_bytes=int(_os.environ.get(
+                "TINYRT_DIFF_VMEM_LIMIT", str(100 * 1024 * 1024))),
+        ),
         interpret=interpret,
     )(cam_vec, ctl, tab,
       jnp.asarray(pid), jnp.asarray(px), jnp.asarray(py), jnp.asarray(wgt),
