@@ -125,6 +125,38 @@ def test_image_matches_modular_nee_render():
     assert (rel > 1e-3).mean() < 0.02, (rel > 1e-3).mean()
 
 
+def test_packed_sharded_matches_single_device():
+    """Data-parallel fused training (mesh over pixel-tile blocks): the
+    sharded kernel's image and psum'd gradient tables match the
+    single-device packed kernel up to collective summation order."""
+    from jax.sharding import Mesh
+
+    from tinyraytracer_tpu.ops.diffkernel_packed import (
+        render_value_and_grad_packed,
+    )
+
+    world, cam, kw = presets.cornell_spheres(width=16, height=16)
+    scene = world.build()
+    rng = np.random.RandomState(1)
+    target = rng.rand(16, 16, 3).astype(np.float32) * 0.5
+    kws = dict(spp=2, max_bounces=3, background=kw["background"], seed=5,
+               interpret=True, tile=(8, 128))
+    loss_1, img_1, g_1 = render_value_and_grad_packed(
+        scene, cam, target, **kws)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("tile", "sample"))
+    loss_m, img_m, g_m = render_value_and_grad_packed(
+        scene, cam, target, mesh=mesh, **kws)
+    assert float(loss_1) == pytest.approx(float(loss_m), rel=1e-6)
+    assert np.abs(np.asarray(img_1) - np.asarray(img_m)).max() <= 1e-6
+    for k in GRAD_FIELDS:
+        a = np.asarray(g_1[k])
+        b = np.asarray(g_m[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-5 * scale, (
+            k, np.abs(a - b).max(), scale)
+
+
 @pytest.mark.parametrize("scene_name", ["cornell_spheres", "mixed"])
 def test_packed_matches_classic(scene_name):
     """The sublane-packed kernel (ops/diffkernel_packed.py) is the same

@@ -278,6 +278,8 @@ def make_fused_train_step(
     advance_samples: bool = True,
     trainable: Optional[Tuple[str, ...]] = None,
     interpret: bool = False,
+    mesh=None,
+    tile: Optional[Tuple[int, int]] = None,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Train step on the fused differentiable kernel (ops/diffkernel.py).
 
@@ -285,8 +287,13 @@ def make_fused_train_step(
     estimator, RNG streams and gradients (tests/test_diffkernel.py) — but
     render, loss and the whole backward run in ONE kernel launch, so a
     step costs ~3 forward renders instead of the modular path's
-    fusion-boundary-bound fwd+bwd. Single-device (the fused kernel is the
-    per-chip unit; shard pixels above it for multi-chip training).
+    fusion-boundary-bound fwd+bwd.
+
+    mesh: optional jax.sharding.Mesh — data-parallel fused training:
+    pixel-tile blocks shard over every mesh device, each runs the same
+    fused kernel on its shard, and parameter-gradient tables psum over
+    the mesh (BASELINE config 5's sharded inverse rendering). Gradients
+    match single-device up to collective summation order.
     """
     from tinyraytracer_tpu.ops.diffkernel import (
         build_diff_static,
@@ -307,7 +314,7 @@ def make_fused_train_step(
             spp=spp, max_bounces=max_bounces, background=background,
             seed=seed,
             spp_offset=jnp.uint32(step_idx) * jnp.uint32(stride),
-            interpret=interpret, static=static,
+            interpret=interpret, static=static, mesh=mesh, tile=tile,
         )
         grads = {
             k: jnp.where(jnp.isfinite(g), g, 0.0)

@@ -1296,6 +1296,8 @@ def render_value_and_grad(
     interpret: bool = False,
     static: DiffStatic | None = None,
     packed: bool | None = None,
+    mesh=None,
+    tile: tuple | None = None,
 ):
     """Fused train objective: returns (loss, image, grads).
 
@@ -1320,9 +1322,14 @@ def render_value_and_grad(
             DIFF_PACKED_MAX_PRIMS,
         )
 
-        packed = (not interpret
-                  and len(st.sph_rows) + len(st.quad_rows)
-                  <= DIFF_PACKED_MAX_PRIMS)
+        packed = (mesh is not None
+                  or not interpret) and (
+            len(st.sph_rows) + len(st.quad_rows) <= DIFF_PACKED_MAX_PRIMS)
+    if mesh is not None and not packed:
+        raise NotImplementedError(
+            "mesh-sharded fused training runs through the packed kernel; "
+            "this scene exceeds its unroll limit — use the modular "
+            "make_train_step(mesh=...) path instead")
     if packed:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             render_value_and_grad_packed,
@@ -1332,7 +1339,7 @@ def render_value_and_grad(
             scene, camera, target, spp=spp, max_bounces=max_bounces,
             background=background, seed=seed, spp_offset=spp_offset,
             nee=nee, silhouette=silhouette, interpret=interpret,
-            static=static,
+            static=static, mesh=mesh, tile=tile,
         )
     w, h = camera.width, camera.height
     npix = w * h

@@ -159,40 +159,41 @@ def packed_flat_table(scene: SceneArrays, st: DiffStatic):
 
 
 @functools.lru_cache(maxsize=32)
-def _packed_diff_arrays(width: int, height: int, s: int, l: int):
-    """Blocked pixel layout for (S, L) tiles plus ownership weights.
+def _packed_diff_arrays(width: int, height: int, s: int, l: int,
+                        g_mult: int = 1):
+    """FLAT pixel layout for (S, L) tiles plus ownership weights.
 
-    Same block order as megakernel_packed._packed_pixel_arrays (edge
-    blocks clamp to duplicate pixels; RNG keys off pixel id alone so
-    duplicates recompute bit-identically), plus wgt: 1.0 on the FIRST
-    lane owning each pixel, 0.0 on duplicates — the loss cotangent must
-    count every pixel exactly once or duplicated border pixels would
-    double their gradient contribution.
+    The forward megakernel blocks pixels 2-D for regeneration coherence;
+    the diff kernel has a FIXED bounce budget (every lane pays spp x mb
+    regardless), so coherence buys nothing and the 2-D edge-block
+    duplication (13.8% at Cornell 300x300) is pure waste. Lanes map to
+    consecutive flat pixel ids; only the tail tile pads (clamped to the
+    last pixel, weight 0 — the loss cotangent counts every pixel exactly
+    once).
+
+    g_mult: pad the tile count to a multiple (sharding over the tile
+    axis needs equal per-device grids); pad tiles clamp like the tail.
     """
     tile = s * l
-    bw = min(128, 1 << (tile.bit_length() // 2))
-    bh = tile // bw
-    nbx = -(-width // bw)
-    nby = -(-height // bh)
-    g = nbx * nby
-    i = np.arange(g * tile)
-    blk, j = i // tile, i % tile
-    x = np.minimum((blk % nbx) * bw + j % bw, width - 1)
-    y = np.minimum((blk // nbx) * bh + j // bw, height - 1)
-    pid = (y * width + x).astype(np.uint32)
-    inv = np.zeros(width * height, np.int32)
-    inv[pid[::-1]] = np.arange(len(pid) - 1, -1, -1, dtype=np.int32)
-    wgt = (inv[pid] == i).astype(np.float32)
+    g = -(-width * height // tile)
+    gp = ((g + g_mult - 1) // g_mult) * g_mult
+    i = np.arange(gp * tile)
+    npix = width * height
+    pid = np.minimum(i, npix - 1).astype(np.uint32)
+    x = (pid % width).astype(np.float32)
+    y = (pid // width).astype(np.float32)
+    wgt = (i < npix).astype(np.float32)
+    inv = np.arange(npix, dtype=np.int32)
 
     def to_input(a):
         return np.ascontiguousarray(
-            a.reshape(g, s, l).transpose(1, 0, 2).reshape(s, g * l))
+            a.reshape(gp, s, l).transpose(1, 0, 2).reshape(s, gp * l))
 
     return (to_input(pid),
-            to_input(x.astype(np.float32)),
-            to_input(y.astype(np.float32)),
+            to_input(x),
+            to_input(y),
             to_input(wgt),
-            pid, inv, g)
+            pid, inv, gp)
 
 
 def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
@@ -1280,11 +1281,22 @@ def render_value_and_grad_packed(
     interpret: bool = False,
     static: DiffStatic | None = None,
     tile: tuple | None = None,
+    mesh=None,
 ):
     """Packed-layout drop-in for diffkernel.render_value_and_grad.
 
     tile: optional (sublanes, lanes) override of the module defaults —
     used by tests to keep interpret-mode tiles small.
+
+    mesh: optional jax.sharding.Mesh. Data-parallel training over the
+    pixel-tile blocks (BASELINE config 5's "sharded across >=2 hosts"):
+    every device runs the SAME fused kernel on its shard of the tile
+    blocks and the parameter-gradient tables are `psum`-reduced over the
+    whole mesh — the per-pixel loss cotangent involves only that pixel's
+    own samples, so tile sharding changes nothing in the estimator
+    (gradients match single-device up to psum summation order). The
+    scene tables replicate (KBs); rays are the big tensor — the same
+    layout argument as parallel/sharded.py.
     """
     from tinyraytracer_tpu.ops.diffkernel import _grads_to_scene
 
@@ -1303,13 +1315,16 @@ def render_value_and_grad_packed(
     tab, prims, light_off = packed_flat_table(scene, st)
     s, l = tile if tile is not None else (DIFF_SUBLANES, DIFF_LANES)
 
-    pid, px, py, wgt, pid_flat, inv, g = _packed_diff_arrays(w, h, s, l)
+    n_shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    pid, px, py, wgt, pid_flat, inv, g = _packed_diff_arrays(
+        w, h, s, l, n_shards)
     tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     # per-lane targets in kernel input layout (duplicate lanes carry
     # their pixel's target; they are weight-0 in the cotangent); pure
     # jnp so a traced target works
-    tgt_lanes = jnp.take(tgt, jnp.asarray(pid_flat.astype(np.int32)),
-                         axis=0)                      # (G*S*L, 3)
+    tgt_lanes = jnp.take(
+        tgt, jnp.minimum(jnp.asarray(pid_flat.astype(np.int32)), npix - 1),
+        axis=0)                                       # (G*S*L, 3)
     tgt_in = [
         tgt_lanes[:, c].reshape(g, s, l).transpose(1, 0, 2).reshape(
             s, g * l)
@@ -1323,46 +1338,79 @@ def render_value_and_grad_packed(
     nw = tab.shape[1]
     tspec = lambda i: (0, i)
     const = lambda i: (0, 0)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, 32), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nw), const, memory_space=pltpu.SMEM),
-        ]
-        + [pl.BlockSpec((s, l), tspec, memory_space=pltpu.VMEM)] * 7,
-        out_specs=[pl.BlockSpec((s, l), tspec, memory_space=pltpu.VMEM)] * 3
-        + [
-            pl.BlockSpec((ns, 8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, 16), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nm, 8), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nl, 16), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((s, g * l), jnp.float32)] * 3
-        + [
-            jax.ShapeDtypeStruct((ns, 8), jnp.float32),
-            jax.ShapeDtypeStruct((nq, 16), jnp.float32),
-            jax.ShapeDtypeStruct((nm, 8), jnp.float32),
-            jax.ShapeDtypeStruct((nl, 16), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            # the reverse sweep's bounce saves + live shade dict exceed
-            # the default scoped-VMEM budget for >=8192-ray tiles
-            vmem_limit_bytes=int(_os.environ.get(
-                "TINYRT_DIFF_VMEM_LIMIT", str(100 * 1024 * 1024))),
-        ),
-        interpret=interpret,
-    )(cam_vec, ctl, tab,
-      jnp.asarray(pid), jnp.asarray(px), jnp.asarray(py), jnp.asarray(wgt),
-      *tgt_in)
+    g_local = g // n_shards
+
+    def call_local(cam_v, ctl_v, tab_v, pid_a, px_a, py_a, wgt_a,
+                   t0, t1, t2):
+        return pl.pallas_call(
+            kernel,
+            grid=(g_local,),
+            in_specs=[
+                pl.BlockSpec((1, 32), const, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nw), const, memory_space=pltpu.SMEM),
+            ]
+            + [pl.BlockSpec((s, l), tspec,
+                            memory_space=pltpu.VMEM)] * 7,
+            out_specs=[pl.BlockSpec((s, l), tspec,
+                                    memory_space=pltpu.VMEM)] * 3
+            + [
+                pl.BlockSpec((ns, 8), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nq, 16), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nm, 8), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nl, 16), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((s, g_local * l),
+                                            jnp.float32)] * 3
+            + [
+                jax.ShapeDtypeStruct((ns, 8), jnp.float32),
+                jax.ShapeDtypeStruct((nq, 16), jnp.float32),
+                jax.ShapeDtypeStruct((nm, 8), jnp.float32),
+                jax.ShapeDtypeStruct((nl, 16), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                # the reverse sweep's bounce saves + live shade dict
+                # exceed the default scoped-VMEM budget at >=8192 rays
+                vmem_limit_bytes=int(_os.environ.get(
+                    "TINYRT_DIFF_VMEM_LIMIT", str(100 * 1024 * 1024))),
+            ),
+            interpret=interpret,
+        )(cam_v, ctl_v, tab_v, pid_a, px_a, py_a, wgt_a, t0, t1, t2)
+
+    args = (cam_vec, ctl, tab, jnp.asarray(pid), jnp.asarray(px),
+            jnp.asarray(py), jnp.asarray(wgt), *tgt_in)
+    if mesh is None:
+        outs = call_local(*args)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.shape.keys())
+
+        def body(cam_v, ctl_v, tab_v, pid_a, px_a, py_a, wgt_a,
+                 t0, t1, t2):
+            outs = call_local(cam_v, ctl_v, tab_v, pid_a, px_a, py_a,
+                              wgt_a, t0, t1, t2)
+            ims, tabs = outs[:3], outs[3:]
+            tabs = [jax.lax.psum(t, axes) for t in tabs]
+            return (*ims, *tabs)
+
+        shard = P(None, axes)   # tile blocks split over the whole mesh
+        outs = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), shard, shard, shard, shard,
+                      shard, shard, shard),
+            out_specs=(shard, shard, shard, P(), P(), P(), P(), P()),
+            check_vma=False,
+        )(*args)
 
     imr, img_g, imb, dsph, dquad, dmat, dlight, dmisc = outs
     color = jnp.stack([imr, img_g, imb], 0)           # (3, S, G*L)
     color = color.reshape(3, s, g, l).transpose(0, 2, 1, 3).reshape(3, -1)
-    img = jnp.take(color, jnp.asarray(inv), axis=1).T.reshape(h, w, 3)
+    del inv  # flat layout: lane order IS pixel order
+    img = color[:, :npix].T.reshape(h, w, 3)
     loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
     grads = _grads_to_scene(scene, st, dsph, dquad, dmat, dlight, dmisc)
     return loss, img, grads
