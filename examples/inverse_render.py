@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--trainable", default="sph_center,mat_albedo",
                     help="comma-separated param fields to optimize "
                          "(default recovers both positions and albedos)")
+    ap.add_argument("--engine", choices=("auto", "fused", "modular"),
+                    default="auto",
+                    help="fused = one-launch Pallas train step "
+                         "(ops/diffkernel*, ~100x the modular step on "
+                         "TPU); auto picks fused on TPU")
     args = ap.parse_args()
 
     import optax
@@ -68,10 +73,14 @@ def main() -> int:
     def save(img, name):
         Image.from_linear(np.asarray(img)).save(os.path.join(args.out, name))
 
-    # Ground-truth target.
+    # Ground-truth target — rendered with the SAME estimator family the
+    # fit uses (nee=True): the training estimator clamps the NEE geometry
+    # term (ops/trace.py), so a plain-path-traced target differs by a
+    # small systematic residual near the light that the fit would
+    # otherwise (wrongly) push geometry and albedo to chase.
     target = trace_ops.render_image(
         scene, camera, spp=args.target_spp, max_bounces=args.max_bounces,
-        background=bg, seed=7,
+        background=bg, seed=7, nee=True,
     )
     save(target, "target.png")
 
@@ -126,18 +135,38 @@ def main() -> int:
         {k: ("geom" if k.startswith(("sph_", "quad_")) else "mat")
          for k in scene_params(scene)},
     )
-    step, (params, opt_state) = inverse.make_train_step(
-        pert,
-        camera,
-        target,
-        spp=args.spp,
-        max_bounces=args.max_bounces,
-        background=kw["background"],
-        seed=13,
-        optimizer=optimizer,
-        mesh=mesh,
-        trainable=tuple(args.trainable.split(",")),
-    )
+    fused = (args.engine == "fused"
+             or (args.engine == "auto"
+                 and jax.devices()[0].platform == "tpu"))
+    if fused:
+        # One-launch fused kernel (same estimator/streams as the modular
+        # step); mesh shards pixel tiles and psums gradient tables.
+        step, (params, opt_state) = inverse.make_fused_train_step(
+            pert,
+            camera,
+            target,
+            spp=args.spp,
+            max_bounces=args.max_bounces,
+            background=kw["background"],
+            seed=13,
+            optimizer=optimizer,
+            mesh=mesh,
+            trainable=tuple(args.trainable.split(",")),
+        )
+    else:
+        step, (params, opt_state) = inverse.make_train_step(
+            pert,
+            camera,
+            target,
+            spp=args.spp,
+            max_bounces=args.max_bounces,
+            background=kw["background"],
+            seed=13,
+            optimizer=optimizer,
+            mesh=mesh,
+            trainable=tuple(args.trainable.split(",")),
+        )
+    print(f"engine: {'fused' if fused else 'modular'}")
 
     start = 0
     ckpt = args.checkpoint

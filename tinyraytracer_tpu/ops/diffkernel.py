@@ -1152,11 +1152,18 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, tr), 1)
         gidx = (pl.program_id(0) * tr + lane).astype(jnp.float32)
         wgt = (gidx < npixf).astype(jnp.float32)
+        dr_ = img_r - tgt_ref[0:1, :]
+        dg_ = img_g - tgt_ref[1:2, :]
+        db_ = img_b - tgt_ref[2:3, :]
         cscale = 2.0 * wgt / (npixf * 3.0 * float(spp))
-        chr_ = cscale * (img_r - tgt_ref[0:1, :])
-        chg_ = cscale * (img_g - tgt_ref[1:2, :])
-        chb_ = cscale * (img_b - tgt_ref[2:3, :])
-        chat = (chr_, chg_, chb_)
+        chat = (cscale * dr_, cscale * dg_, cscale * db_)
+        # The MSE itself, accumulated in-kernel (this tile's partial):
+        # the caller must not recompute it post-kernel — a fused
+        # consumer reading the big `target` constant after this custom
+        # call has been observed to read corrupted values under jit on
+        # TPU, while in-VMEM values are always right.
+        lsum = jnp.sum(wgt * (dr_ * dr_ + dg_ * dg_ + db_ * db_)) / (
+            npixf * 3.0)
 
         # ============== phase 3: replay + adjoint =====================
         def sample_bwd(s, accs):
@@ -1196,7 +1203,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         accs = jax.lax.fori_loop(0, spp, sample_bwd, accs0)
         dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a = accs
 
-        # dmisc: background gradient in row 0, cols 0..2
+        # dmisc: background gradient in row 0 cols 0..2, MSE in col 3
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         bsr = jnp.sum(bgr_a)
@@ -1205,7 +1212,9 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         dmisc = jnp.where(
             (row_i == 0) & (col_i == 0), bsr,
             jnp.where((row_i == 0) & (col_i == 1), bsg,
-                      jnp.where((row_i == 0) & (col_i == 2), bsb, 0.0)),
+                      jnp.where((row_i == 0) & (col_i == 2), bsb,
+                                jnp.where((row_i == 0) & (col_i == 3),
+                                          lsum, 0.0))),
         )
 
         first = pl.program_id(0) == 0
@@ -1362,7 +1371,12 @@ def render_value_and_grad(
         interpret=interpret,
     )
     img = img_cols[:, :npix].T.reshape(h, w, 3)
-    loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
+    # Loss comes out of the kernel (dmisc[0, 3]), not a post-kernel
+    # mean((img - target)**2): under jit on TPU a fused consumer of the
+    # target constant after the custom call reads corrupted values
+    # (kernel-side accumulation is immune, and free — phase 2 already
+    # forms img - target per lane).
+    loss = dmisc[0, 3]
     grads = _grads_to_scene(scene, st, dsph, dquad, dmat, dlight, dmisc)
     return loss, img, grads
 

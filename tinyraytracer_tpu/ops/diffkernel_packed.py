@@ -1189,11 +1189,16 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
 
         # ============== phase 2: local loss cotangent =================
         wgt = wgt_ref[...]
+        dr_ = img_r - tgr_ref[...]
+        dg_ = img_g - tgg_ref[...]
+        db_ = img_b - tgb_ref[...]
         cscale = 2.0 * wgt / (npixf * 3.0 * float(spp))
-        chr_ = cscale * (img_r - tgr_ref[...])
-        chg_ = cscale * (img_g - tgg_ref[...])
-        chb_ = cscale * (img_b - tgb_ref[...])
-        chat = (chr_, chg_, chb_)
+        chat = (cscale * dr_, cscale * dg_, cscale * db_)
+        # In-kernel MSE partial (see diffkernel.py: a post-kernel
+        # mean((img - target)**2) reads corrupted target values when
+        # fused after this custom call under jit on TPU).
+        lsum = jnp.sum(wgt * (dr_ * dr_ + dg_ * dg_ + db_ * db_)) / (
+            npixf * 3.0)
 
         # ============== phase 3: replay + adjoint =====================
         def sample_bwd(s, accs):
@@ -1242,7 +1247,9 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         dmisc = jnp.where(
             (row_i == 0) & (col_i == 0), bsr,
             jnp.where((row_i == 0) & (col_i == 1), bsg,
-                      jnp.where((row_i == 0) & (col_i == 2), bsb, 0.0)),
+                      jnp.where((row_i == 0) & (col_i == 2), bsb,
+                                jnp.where((row_i == 0) & (col_i == 3),
+                                          lsum, 0.0))),
         )
 
         first = pl.program_id(0) == 0
@@ -1411,6 +1418,9 @@ def render_value_and_grad_packed(
     color = color.reshape(3, s, g, l).transpose(0, 2, 1, 3).reshape(3, -1)
     del inv  # flat layout: lane order IS pixel order
     img = color[:, :npix].T.reshape(h, w, 3)
-    loss = jnp.mean((img - jnp.asarray(target, jnp.float32)) ** 2)
+    # In-kernel MSE (dmisc[0, 3]; psum'd over mesh shards like every
+    # other table) — never recompute from `target` post-kernel, see
+    # diffkernel.py's note on the jit/TPU corrupted-constant read.
+    loss = dmisc[0, 3]
     grads = _grads_to_scene(scene, st, dsph, dquad, dmat, dlight, dmisc)
     return loss, img, grads
