@@ -110,6 +110,16 @@ def main() -> None:
     bwd_dt = min(times)
     result["fwdbwd_rays_per_sec"] = round(bw * bh * bspp / bwd_dt, 1)
     result["fwdbwd_step_ms"] = round(bwd_dt * 1e3, 2)
+    # Roofline for the fused step: lockstep kernel, every lane pays the
+    # full bounce budget over the PADDED candidate rows it actually tests
+    # (utils/sol.py::pct_of_sol_diff documents the fwd/replay/adjoint op
+    # model).
+    from tinyraytracer_tpu.ops.diffkernel import build_diff_static
+
+    st2 = build_diff_static(scene2)
+    result["pct_sol_fwdbwd_vpu_roofline"] = round(
+        sol.pct_of_sol_diff(result["fwdbwd_rays_per_sec"],
+                            st2.ns, st2.nq, bmb), 3)
     result["fwdbwd_config"] = (
         f"cornell {bw}x{bh} spp={bspp} mb={bmb} fused-kernel train step "
         "(render+MSE+full backward+adam)"

@@ -54,6 +54,11 @@ def main() -> int:
                     help="fused = one-launch Pallas train step "
                          "(ops/diffkernel*, ~100x the modular step on "
                          "TPU); auto picks fused on TPU")
+    ap.add_argument("--grad-chunks", type=int, default=4,
+                    help="fused engine: median-of-N-chunks robust "
+                         "gradients (kills the heavy-tailed boundary "
+                         "score spikes that can kick a sphere out of "
+                         "the basin); 1 = plain mean")
     args = ap.parse_args()
 
     import optax
@@ -119,17 +124,23 @@ def main() -> int:
 
     # Per-field learning rates: centers move tens of units, albedos are in
     # [0, 1] — a single global lr cannot serve both. Geometry holds its LR
-    # until the basin is reached, then decays so SGD noise stops the
-    # weakly-constrained depth axis from wandering (see test_diff.py).
+    # for 80% of the run — the weakly-constrained depth axis converges as
+    # a slow noisy drift and freezes wherever it sits once the LR decays,
+    # so decaying at steps/2 (the old default) left ~1-2 units of z error
+    # — then anneals so SGD noise stops the fit from wandering.
     geom_sched = optax.join_schedules(
         [optax.constant_schedule(args.lr),
          optax.exponential_decay(args.lr, transition_steps=20,
                                  decay_rate=0.5)],
-        boundaries=[max(40, args.steps // 2)],
+        boundaries=[max(40, (args.steps * 4) // 5)],
     )
+    # Geometry Adam runs b2=0.9: a surrogate score spike that slips
+    # through the chunk median would poison a default b2=0.999 second
+    # moment for ~1000 steps (observed as a frozen runaway fit); with 0.9
+    # it recovers in ~10.
     optimizer = optax.multi_transform(
         {
-            "geom": optax.adam(geom_sched),
+            "geom": optax.adam(geom_sched, b2=0.9),
             "mat": optax.adam(args.albedo_lr),
         },
         {k: ("geom" if k.startswith(("sph_", "quad_")) else "mat")
@@ -152,6 +163,9 @@ def main() -> int:
             optimizer=optimizer,
             mesh=mesh,
             trainable=tuple(args.trainable.split(",")),
+            grad_chunks=(args.grad_chunks
+                         if args.spp % max(args.grad_chunks, 1) == 0
+                         else 1),
         )
     else:
         step, (params, opt_state) = inverse.make_train_step(
@@ -174,16 +188,35 @@ def main() -> int:
         params, opt_state, start = inverse.load_checkpoint(ckpt, opt_state)
         print(f"resumed from step {start}")
 
+    # Tail-iterate (Polyak) averaging: the geometry SGD noise is heavy-
+    # tailed (rare silhouette/shadow score-term spikes), so the iterate
+    # random-walks ~a fraction of a radius around the optimum; averaging
+    # the last quarter of the run cancels the walk without touching the
+    # estimator.
+    avg_from = start + (args.steps - start) * 3 // 4
+    avg_params, avg_n = None, 0
+
     for i in range(start, args.steps):
         params, opt_state, loss = step(params, opt_state, i)
         # Physical projection: albedos live in [0, 1] (keeps the fit from
         # wandering into energy-gaining materials).
         params["mat_albedo"] = jnp.clip(params["mat_albedo"], 0.0, 1.0)
+        if i >= avg_from:
+            avg_n += 1
+            if avg_params is None:
+                avg_params = dict(params)
+            else:
+                avg_params = {
+                    k: v + (params[k] - v) / avg_n
+                    for k, v in avg_params.items()
+                }
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i:4d}  loss {float(loss):.6f}")
         if ckpt and (i + 1) % 50 == 0:
             inverse.save_checkpoint(ckpt, params, opt_state, i + 1)
 
+    if avg_params is not None:
+        params = avg_params
     fitted = apply_params(pert, params)
     save(
         trace_ops.render_image(

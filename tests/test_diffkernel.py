@@ -157,6 +157,39 @@ def test_packed_sharded_matches_single_device():
             k, np.abs(a - b).max(), scale)
 
 
+def test_fused_step_grad_chunks():
+    """make_fused_train_step(grad_chunks=N): the median-of-chunks step runs
+    the same sample set as the plain step (chunk c covers spp offsets
+    [c*spp/N, (c+1)*spp/N)) and produces finite params; with N=2 the
+    median equals the two-chunk mean, so the update direction must agree
+    with the plain step's on smooth (albedo) parameters."""
+    import optax
+
+    world, cam, kw = presets.cornell_spheres(width=12, height=12)
+    scene = world.build()
+    rng = np.random.RandomState(7)
+    target = rng.rand(12, 12, 3).astype(np.float32) * 0.5
+    common = dict(spp=4, max_bounces=2, background=kw["background"], seed=3,
+                  interpret=True, optimizer=optax.sgd(1e-2),
+                  trainable=("mat_albedo",))
+    s1, (p1, o1) = inverse.make_fused_train_step(scene, cam, target,
+                                                 **common)
+    s2, (p2, o2) = inverse.make_fused_train_step(scene, cam, target,
+                                                 grad_chunks=2, **common)
+    p1, _, l1 = s1(p1, o1, 0)
+    p2, _, l2 = s2(p2, o2, 0)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    d1 = np.asarray(p1["mat_albedo"]) - np.asarray(scene.mat_albedo)
+    d2 = np.asarray(p2["mat_albedo"]) - np.asarray(scene.mat_albedo)
+    # same samples, mean-of-2 == full mean for a linear-in-samples grad
+    # component; allow MC-MSE correlation-term differences
+    assert np.sign(d1[np.abs(d1) > 1e-7]).tolist() == np.sign(
+        d2[np.abs(d1) > 1e-7]).tolist()
+    with pytest.raises(ValueError):
+        inverse.make_fused_train_step(scene, cam, target, grad_chunks=3,
+                                      **common)
+
+
 @pytest.mark.parametrize("scene_name", ["cornell_spheres", "mixed"])
 def test_packed_matches_classic(scene_name):
     """The sublane-packed kernel (ops/diffkernel_packed.py) is the same

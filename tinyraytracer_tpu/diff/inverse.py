@@ -114,8 +114,14 @@ def make_train_step(
     nee: bool = True,
     silhouette: bool = True,
     use_kernel: Optional[bool] = None,
+    grad_chunks: int = 1,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Build a jitted SGD step over the scene params (optionally sharded).
+
+    grad_chunks > 1: elementwise-median-of-chunks robust gradient (split
+    the step's spp into N chunks, take the median of the N chunk
+    gradients) — see make_fused_train_step for why (heavy-tailed boundary
+    score spikes poison Adam). Single-device path only.
 
     Returns (step, (params0, opt_state0)); step(params, opt_state, step_idx)
     -> (params, opt_state, loss). When `mesh` is given, pixels shard over
@@ -220,29 +226,56 @@ def make_train_step(
     else:
         stride = jnp.uint32(spp if advance_samples else 0)
 
-        def loss_fn(params, step_idx, compact):
-            return render_loss(
-                params,
-                scene_template,
-                camera,
-                target,
-                spp=spp,
-                max_bounces=max_bounces,
-                background=background,
-                seed=base_seed,
-                spp_offset=step_idx * stride,
-                nee=nee,
-                silhouette=silhouette,
-                compact=compact,
-            )
+        def make_loss(spp_eff):
+            def loss_fn(params, step_idx, compact, extra_off=jnp.uint32(0)):
+                return render_loss(
+                    params,
+                    scene_template,
+                    camera,
+                    target,
+                    spp=spp_eff,
+                    max_bounces=max_bounces,
+                    background=background,
+                    seed=base_seed,
+                    spp_offset=step_idx * stride + extra_off,
+                    nee=nee,
+                    silhouette=silhouette,
+                    compact=compact,
+                )
+
+            return loss_fn
+
+        loss_fn = make_loss(spp)
+
+    if grad_chunks < 1 or (grad_chunks > 1 and mesh is not None):
+        raise ValueError("grad_chunks needs the single-device path")
+    if spp % grad_chunks:
+        raise ValueError(f"grad_chunks={grad_chunks} must divide spp={spp}")
+    chunk_loss = make_loss(spp // grad_chunks) if grad_chunks > 1 else None
 
     trainset = None if trainable is None else frozenset(trainable)
 
     @functools.partial(jax.jit, static_argnames=())
     def step(params, opt_state, step_idx, compact=compact0):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, jnp.uint32(step_idx), compact
-        )
+        if grad_chunks == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, jnp.uint32(step_idx), compact
+            )
+        else:
+            cspp = spp // grad_chunks
+            losses, gs = [], []
+            for c in range(grad_chunks):
+                cl, cg = jax.value_and_grad(chunk_loss)(
+                    params, jnp.uint32(step_idx), compact,
+                    jnp.uint32(c * cspp),
+                )
+                losses.append(cl)
+                gs.append(cg)
+            loss = sum(losses) / grad_chunks
+            grads = {
+                k: jnp.median(jnp.stack([g[k] for g in gs]), axis=0)
+                for k in gs[0]
+            }
         # Gradient sanitization: a single degenerate sample (observed on
         # TPU only — its approximate transcendentals hit edges the CPU
         # path does not; the same trajectory runs clean on CPU) would
@@ -280,6 +313,7 @@ def make_fused_train_step(
     interpret: bool = False,
     mesh=None,
     tile: Optional[Tuple[int, int]] = None,
+    grad_chunks: int = 1,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Train step on the fused differentiable kernel (ops/diffkernel.py).
 
@@ -294,6 +328,21 @@ def make_fused_train_step(
     fused kernel on its shard, and parameter-gradient tables psum over
     the mesh (BASELINE config 5's sharded inverse rendering). Gradients
     match single-device up to collective summation order.
+
+    grad_chunks: robust gradient aggregation. The boundary surrogates'
+    score terms are heavy-tailed — a single near-tangent shadow/silhouette
+    ray can contribute 10-100x the typical whole-image gradient, and one
+    such spike poisons Adam's second moment for ~1/(1-b2) steps (observed:
+    a geometry fit kicked a sphere 5 units off and froze). With
+    grad_chunks=N, the step's spp samples are split into N chunks, the
+    fused kernel runs per chunk (same sample set, same streams), and the
+    gradient is the ELEMENTWISE MEDIAN over chunks — a spike living in one
+    chunk is voted out; smooth components (identical in expectation across
+    chunks) pass through. The reported loss is the mean of per-chunk MSEs
+    (monitoring only — it upper-bounds the full-spp MSE by the extra MC
+    variance of a 1/N-sample image; each chunk gradient likewise carries
+    the usual O(1/chunk_spp) MC-MSE correlation bias, same class as the
+    unchunked step's O(1/spp) one).
     """
     from tinyraytracer_tpu.ops.diffkernel import (
         build_diff_static,
@@ -305,17 +354,39 @@ def make_fused_train_step(
     static = build_diff_static(scene_template)
     stride = spp if advance_samples else 0
     trainset = None if trainable is None else frozenset(trainable)
+    if grad_chunks < 1 or spp % grad_chunks:
+        raise ValueError(f"grad_chunks={grad_chunks} must divide spp={spp}")
+    cspp = spp // grad_chunks
 
     @jax.jit
     def step(params, opt_state, step_idx):
         s = apply_params(scene_template, params)
-        loss, _img, grads = render_value_and_grad(
-            s, camera, target,
-            spp=spp, max_bounces=max_bounces, background=background,
-            seed=seed,
-            spp_offset=jnp.uint32(step_idx) * jnp.uint32(stride),
-            interpret=interpret, static=static, mesh=mesh, tile=tile,
-        )
+        base = jnp.uint32(step_idx) * jnp.uint32(stride)
+        if grad_chunks == 1:
+            loss, _img, grads = render_value_and_grad(
+                s, camera, target,
+                spp=spp, max_bounces=max_bounces, background=background,
+                seed=seed, spp_offset=base,
+                interpret=interpret, static=static, mesh=mesh, tile=tile,
+            )
+        else:
+            losses, gs = [], []
+            for c in range(grad_chunks):
+                cl, _img, cg = render_value_and_grad(
+                    s, camera, target,
+                    spp=cspp, max_bounces=max_bounces,
+                    background=background, seed=seed,
+                    spp_offset=base + jnp.uint32(c * cspp),
+                    interpret=interpret, static=static, mesh=mesh,
+                    tile=tile,
+                )
+                losses.append(cl)
+                gs.append(cg)
+            loss = sum(losses) / grad_chunks
+            grads = {
+                k: jnp.median(jnp.stack([g[k] for g in gs]), axis=0)
+                for k in gs[0]
+            }
         grads = {
             k: jnp.where(jnp.isfinite(g), g, 0.0)
             for k, g in grads.items() if k != "background"
@@ -396,6 +467,7 @@ def fit(
     checkpoint_every: int = 50,
     refresh_compact_every: int = 10,
     log_every: int = 0,
+    average_last: int = 0,
 ) -> Tuple[SceneArrays, list]:
     """Run `steps` of Adam on the scene params; returns (scene, loss curve).
 
@@ -406,6 +478,12 @@ def fit(
     snapshot is refreshed every `refresh_compact_every` steps so winner
     selection tracks the moving surfaces. Resumes from `checkpoint_path`
     if it exists.
+
+    `average_last`: if > 0, the returned scene uses the Polyak average of
+    the final N iterates instead of the last one — geometry fits have
+    heavy-tailed gradient noise (silhouette/shadow score-term spikes) and
+    the iterate random-walks around the optimum; tail averaging cancels
+    the walk.
     """
     step_fn, (params, opt_state) = make_train_step(
         scene_template,
@@ -429,6 +507,8 @@ def fit(
     use_kernel = jax.devices()[0].platform == "tpu"
     compact = refresh_compact(scene_template, params) if use_kernel else None
     losses = []
+    avg_from = max(start, steps - average_last) if average_last else steps
+    avg_params, avg_n = None, 0
     for i in range(start, steps):
         if (
             use_kernel
@@ -443,8 +523,19 @@ def fit(
         else:
             params, opt_state, loss = step_fn(params, opt_state, i)
         losses.append(float(loss))
+        if i >= avg_from:
+            avg_n += 1
+            if avg_params is None:
+                avg_params = dict(params)
+            else:
+                avg_params = {
+                    k: v + (params[k] - v) / avg_n
+                    for k, v in avg_params.items()
+                }
         if log_every and (i + 1) % log_every == 0:
             print(f"step {i + 1}/{steps}  loss {float(loss):.6f}")
         if checkpoint_path and (i + 1) % checkpoint_every == 0:
             save_checkpoint(checkpoint_path, params, opt_state, i + 1)
+    if avg_params is not None:
+        params = avg_params
     return apply_params(scene_template, params), losses

@@ -65,6 +65,54 @@ def pct_of_sol(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
     return achieved / VPU_F32_OPS_PER_SEC
 
 
+# --- fused differentiable kernel (ops/diffkernel_packed.py) ---------------
+#
+# The train step executes, per camera sample, with NO early exit (lockstep
+# fori over spp x max_bounces):
+#   phase 1 forward render        ~ 1.0 x a forward segment per bounce
+#   phase 3 replay (hit + shade)  ~ 1.0 x again (saves are VMEM-resident)
+#   phase 3 adjoint chains        ~ 2.0 x a forward segment per bounce
+#     (audited order-of-magnitude against bounce_adj: scatter/NEE/
+#      silhouette cotangent chains roughly double the forward shading
+#      op count, on top of the hit recompute)
+#   per-bounce gradient scatter   ~ SCATTER_FIXED_OPS on the VPU (one-hot
+#     build + concats; the (prims x SL)x(SL x 8/16) table matmuls ride
+#     the MXU and overlap)
+# NEE adds a shadow-visibility pass per bounce in BOTH forward and replay;
+# that is folded into SEGMENT_FIXED_OPS's shading estimate already used by
+# the forward model, so the multipliers below apply to the same per_seg.
+
+DIFF_SEGMENT_MULT = 4.0          # fwd + replay + ~2x adjoint
+DIFF_SCATTER_FIXED_OPS = 220.0   # per bounce: one-hot + concat builds
+DIFF_RAY_FIXED_OPS = 2.0 * RAY_FIXED_OPS + 40.0  # two raygens + cotangent
+
+
+def ops_per_camera_ray_diff(n_sph_rows: int, n_quad_rows: int,
+                            max_bounces: int) -> float:
+    """Modelled VPU ops one camera sample costs in the fused train step."""
+    per_seg = (
+        n_sph_rows * (SPHERE_OPS_PER_ROW + WINNER_OPS_PER_ROW)
+        + n_quad_rows * (QUAD_OPS_PER_ROW + WINNER_OPS_PER_ROW)
+        + SEGMENT_FIXED_OPS
+    )
+    return DIFF_RAY_FIXED_OPS + max_bounces * (
+        DIFF_SEGMENT_MULT * per_seg + DIFF_SCATTER_FIXED_OPS
+    )
+
+
+def pct_of_sol_diff(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
+                    max_bounces: int) -> float:
+    """Fraction of the VPU roofline the fused fwd+bwd step achieves.
+
+    Uses the full bounce budget (the diff kernel is lockstep — every lane
+    pays every bounce), unlike the forward model's mean executed bounces.
+    """
+    achieved = rays_per_sec * ops_per_camera_ray_diff(
+        n_sph_rows, n_quad_rows, max_bounces
+    )
+    return achieved / VPU_F32_OPS_PER_SEC
+
+
 def mean_executed_bounces(scene, camera, *, max_bounces: int, background,
                           spp: int = 2, seed: int = 0) -> float:
     """Empirical mean bounce segments per camera ray for this scene.
