@@ -54,11 +54,13 @@ def main() -> int:
                     help="fused = one-launch Pallas train step "
                          "(ops/diffkernel*, ~100x the modular step on "
                          "TPU); auto picks fused on TPU")
-    ap.add_argument("--grad-chunks", type=int, default=4,
-                    help="fused engine: median-of-N-chunks robust "
-                         "gradients (kills the heavy-tailed boundary "
-                         "score spikes that can kick a sphere out of "
-                         "the basin); 1 = plain mean")
+    ap.add_argument("--grad-chunks", type=int, default=1,
+                    help="fused engine: median-of-N-chunks gradients. "
+                         "Default 1 (plain mean): the boundary signal "
+                         "lives in a few rays per step and the median "
+                         "rejects it along with the spikes (measured); "
+                         "spike robustness comes from adaptive_clip "
+                         "instead")
     args = ap.parse_args()
 
     import optax
@@ -134,13 +136,15 @@ def main() -> int:
                                  decay_rate=0.5)],
         boundaries=[max(40, (args.steps * 4) // 5)],
     )
-    # Geometry Adam runs b2=0.9: a surrogate score spike that slips
-    # through the chunk median would poison a default b2=0.999 second
-    # moment for ~1000 steps (observed as a frozen runaway fit); with 0.9
-    # it recovers in ~10.
+    # Geometry chain: adaptive_clip bounds the heavy-tailed boundary
+    # score spikes to 4x the running gradient norm (a raw spike poisons
+    # Adam's second moment and was observed kicking a sphere 5 units out
+    # of its basin with no recovery); Adam runs b2=0.9 so whatever scale
+    # inflation remains is forgotten in ~10 steps, not ~1000.
     optimizer = optax.multi_transform(
         {
-            "geom": optax.adam(geom_sched, b2=0.9),
+            "geom": optax.chain(inverse.adaptive_clip(4.0),
+                                optax.adam(geom_sched, b2=0.9)),
             "mat": optax.adam(args.albedo_lr),
         },
         {k: ("geom" if k.startswith(("sph_", "quad_")) else "mat")

@@ -48,6 +48,58 @@ def image_mse(img, target):
     return jnp.mean((img - target) ** 2)
 
 
+def adaptive_clip(threshold: float = 4.0, decay: float = 0.9,
+                  eps: float = 1e-12) -> optax.GradientTransformation:
+    """Clip each gradient leaf to `threshold` x its own running RMS norm.
+
+    The boundary surrogates (NEE soft shadow, silhouette ratio) are
+    score-function estimators with heavy tails: a single near-tangent ray
+    can contribute 10-100x the typical whole-image gradient. A fixed clip
+    threshold can't serve fields whose scales differ by 10^4 (centers vs
+    albedos), so the threshold adapts: an EMA of each leaf's gradient norm
+    is tracked, and the leaf is rescaled whenever its norm exceeds
+    threshold x EMA. The EMA updates with the CLIPPED norm, so one spike
+    can't ratchet the gate open for the next.
+
+    Unlike median-of-chunks aggregation this keeps 100% of the mean
+    gradient direction — sparse boundary signal (a few informative rays
+    per step) passes through; only the magnitude of outlier steps is
+    bounded. Chain it in FRONT of Adam: what it protects is Adam's second
+    moment, which one unclipped spike poisons for ~1/(1-b2) steps.
+    """
+
+    def init(params):
+        return {"ema": jax.tree.map(lambda p: jnp.zeros((), jnp.float32),
+                                    params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        warm = count <= 3  # track-only warmup: no trusted scale yet
+
+        def one(g, ema):
+            n = jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2) + eps)
+            limit = threshold * ema
+            scale = jnp.where(
+                warm | (ema <= eps) | (n <= limit), 1.0, limit / n)
+            g_clip = g * scale
+            n_clip = jnp.minimum(n, jnp.where(warm | (ema <= eps),
+                                              n, limit))
+            new_ema = jnp.where(
+                count == 1, n_clip, decay * ema + (1.0 - decay) * n_clip)
+            return g_clip, new_ema
+
+        leaves, treedef = jax.tree.flatten(updates)
+        emas = treedef.flatten_up_to(state["ema"])
+        out = [one(g, e) for g, e in zip(leaves, emas)]
+        new_updates = treedef.unflatten([o[0] for o in out])
+        new_ema = treedef.unflatten([o[1] for o in out])
+        return new_updates, {"ema": new_ema, "count": count}
+
+    return optax.GradientTransformation(init, update)
+
+
 @partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "exact", "nee", "silhouette"),
