@@ -45,10 +45,14 @@ REF = "/root/reference"
 # bit-level emulation. Tolerance is set just above that residual.
 CONFIGS = [
     (
+        # mean tol 4.5: round-2 TPU measurement was [3.73 3.49 3.11]
+        # (GOLDEN_r02.md) against the prior 5.0 — tightened toward the
+        # measured residual per the round-1 verdict, keeping ~0.8 u8 of
+        # seed-to-seed headroom.
         "cornell300",
         f"{REF}/output/output.png",
         "cornell_box", 300, 300, 300, 20,
-        5.0, 14.0,
+        4.5, 14.0,
     ),
     (
         "render_test",
