@@ -8,6 +8,20 @@ The reference ships renders as de-facto golden artifacts (SURVEY.md §4):
   - raytracer/output/quad_test.png     five-quad scene 400x300, spp=10,
                                        mb=10 (hittable/quad.rs:98-151)
 
+Two further checked-in renders are deliberately NOT golden targets:
+  - /root/reference/output.png (RTiOW sphere+ground, 400x225) shows a
+    vertical sky *gradient*, but the surveyed renderer only supports a
+    constant background color (renderer.rs:21-35; cpu.rs:58-60) — the
+    image predates that snapshot and is unreproducible under its
+    semantics.
+  - output/output_highres.png (1920x1080 RTiOW cover) depends on the
+    random sphere placement of a scene-generation routine that is not in
+    the snapshot (main.rs builds only the Cornell box), so the layout
+    cannot be reconstructed.
+The camera test golden (test_ray_image_generation.png) is covered by
+tests/test_golden.py::test_golden_camera_sky_gradient instead (it needs
+raw get_ray access, not a Renderer).
+
 Its RNG is unseedable (utils/random.rs:15-18), so parity is distributional,
 not bitwise: we compare gamma-encoded u8 images on
   - per-channel image means (MC error of the mean is tiny at 10^5 pixels),

@@ -46,3 +46,55 @@ def test_golden_quad_scene_small():
     assert mean_diff.max() < 3.0, mean_diff
     bdiff = np.abs(gc.block_means(ours, 10) - gc.block_means(golden_small, 10))
     assert np.percentile(bdiff, 99) < 12.0, np.percentile(bdiff, 99)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        f"{REF}/raytracer/output/test_ray_image_generation.png"),
+    reason="reference renders not mounted",
+)
+def test_golden_camera_sky_gradient():
+    """Reproduce the reference's ignored camera golden render bit-for-block.
+
+    camera.rs:107-130 (test_ray_image_generation.png): 800x450, camera at
+    the origin looking at +z, vfov 90, focus 1.0, defocus_angle 10; pixel
+    coords u=i/w, v=j/h with NO jitter; color = (1-a)*white + a*(.5,.7,1)
+    where a = 0.5*dir.y + 1 (a in [0.5,1.5] — the blue channel saturates
+    through the 0.999 clamp, image.rs:101-110); Image::new applies no
+    gamma. The defocus-disk origin draw is the only randomness, and it
+    perturbs dir by <= tan(5 deg) against a 1-unit focus target, so the two
+    RNGs agree to sub-u8 block means (measured mean diff 0.005 u8,
+    block max 0.40 at 25px blocks).
+    """
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from tinyraytracer_tpu.models.camera import Camera
+    from tinyraytracer_tpu.ops import rng
+    from tinyraytracer_tpu.utils.image import Image
+
+    w, h = 800, 450
+    cam = Camera.new(1.0, 10.0, (0, 0, 0), (0, 0, 1), (0, 1, 0), 90.0, w, h)
+    jj, ii = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    u = (ii / w).astype(jnp.float32).ravel()
+    v = (jj / h).astype(jnp.float32).ravel()
+    pid = (jj * w + ii).astype(jnp.uint32).ravel()
+    r1, r2, _, _ = rng.uniform4(jnp.uint32(3), pid, jnp.uint32(0),
+                                jnp.uint32(0))
+    disk = rng.uniform_in_unit_disk(r1, r2)
+    _, d = cam.get_ray(u, v, disk)
+    a = 0.5 * d[:, 1] + 1.0
+    col = ((1.0 - a)[:, None] * jnp.asarray([1.0, 1.0, 1.0])
+           + a[:, None] * jnp.asarray([0.5, 0.7, 1.0]))
+    ours = Image(np.asarray(col).reshape(h, w, 3)).to_u8().astype(np.float64)
+    golden = np.asarray(
+        PILImage.open(f"{REF}/raytracer/output/test_ray_image_generation.png")
+    ).astype(np.float64)
+    assert ours.shape == golden.shape
+    mean_diff = np.abs(ours.mean(axis=(0, 1)) - golden.mean(axis=(0, 1)))
+    assert mean_diff.max() < 0.2, mean_diff
+
+    import golden_check as gc
+
+    bdiff = np.abs(gc.block_means(ours, 25) - gc.block_means(golden, 25))
+    assert bdiff.max() < 1.0, bdiff.max()
