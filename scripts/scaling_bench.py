@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--preset", default="cornell_box")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the sharded inverse-rendering train step "
+                         "(BASELINE config 5) instead of the forward render")
     ap.add_argument("--distributed", action="store_true")
     ap.add_argument("--coordinator", default="")
     ap.add_argument("--num-processes", type=int, default=0)
@@ -91,8 +94,37 @@ def main() -> None:
     devices = jax.devices()
     rays = args.width * args.height * args.spp
 
+    target = None
+    if args.train:
+        # BASELINE config 5: the sharded inverse-rendering step (forward
+        # NEE render + MSE + backward + Adam, gradients all-reduced over
+        # the mesh). Target rendered once at the full device count.
+        from tinyraytracer_tpu.diff.inverse import make_train_step
+
+        target = render_image_sharded(
+            scene, camera, spp=args.spp, max_bounces=kw["max_bounces"],
+            background=kw["background"], seed=7,
+            mesh=make_mesh(devices),
+        )
+        jax.block_until_ready(target)
+
     def measure(n_dev: int, sample_parallel: int = 1) -> float:
         mesh = make_mesh(devices[:n_dev], sample_parallel=sample_parallel)
+        if args.train:
+            step, (params, opt_state) = make_train_step(
+                scene, camera, target, spp=args.spp,
+                max_bounces=kw["max_bounces"],
+                background=kw["background"], seed=0, mesh=mesh,
+            )
+            params, opt_state, _ = step(params, opt_state, 0)
+            jax.block_until_ready((params, opt_state))
+            ts = []
+            for s in range(3):
+                t0 = time.perf_counter()
+                params, opt_state, loss = step(params, opt_state, s + 1)
+                jax.block_until_ready((params, opt_state, loss))
+                ts.append(time.perf_counter() - t0)
+            return rays / min(ts)
         f = lambda seed: render_image_sharded(
             scene, camera, spp=args.spp, max_bounces=kw["max_bounces"],
             background=kw["background"], seed=seed, mesh=mesh,
@@ -121,9 +153,10 @@ def main() -> None:
         print(json.dumps(results[-1]), flush=True)
 
     if args.report:
+        mode = "train step" if args.train else "forward render"
         lines = [
             f"# Scaling — {args.preset} {args.width}x{args.height} "
-            f"spp={args.spp} ({jax.devices()[0].platform} mesh)",
+            f"spp={args.spp} {mode} ({jax.devices()[0].platform} mesh)",
             "",
             "| devices | rays/s | efficiency vs linear |",
             "|---|---|---|",
