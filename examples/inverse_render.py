@@ -190,18 +190,26 @@ def main() -> int:
         params, opt_state, start = inverse.load_checkpoint(ckpt, opt_state)
         print(f"resumed from step {start}")
 
-    # Tail-iterate (Polyak) averaging: the geometry SGD noise is heavy-
-    # tailed (rare silhouette/shadow score-term spikes), so the iterate
-    # random-walks ~a fraction of a radius around the optimum; averaging
-    # the last quarter of the run cancels the walk without touching the
-    # estimator.
-    avg_from = start + (args.steps - start) * 3 // 4
-    avg_params, avg_n = None, 0
-
     # Refine phase: swap in a higher-spp step (same optimizer state, same
     # params) when the geometry LR starts decaying — 4x less gradient
     # noise exactly when the iterate should settle.
     refine_from = max(40, (args.steps * 4) // 5)
+
+    # Tail-iterate (Polyak) averaging: the geometry SGD noise is heavy-
+    # tailed (rare silhouette/shadow score-term spikes), so the iterate
+    # random-walks ~a fraction of a radius around the optimum; averaging
+    # the settled tail cancels the walk without touching the estimator.
+    # The window must start AFTER the refine/anneal boundary: a window
+    # spanning it mixes pre-anneal iterates (still walking at full LR and
+    # 4x noise) into the mean — measured on the 2-sphere recovery, a
+    # 750-start window with refine at 800 averaged to 0.54 max center
+    # error while the settled iterates sat at ~0.30.
+    avg_from = start + (args.steps - start) * 3 // 4
+    if args.refine_spp > args.spp and refine_from < args.steps:
+        avg_from = max(avg_from,
+                       refine_from + (args.steps - refine_from) // 4)
+    avg_params, avg_n = None, 0
+
     refine_step = None
     if args.refine_spp > args.spp:
         refine_step = lambda: build_step(args.refine_spp)[0]  # noqa: E731
