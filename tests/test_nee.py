@@ -87,9 +87,16 @@ def test_nee_geometry_gradient_matches_fd_boundary_free():
         )
 
     s_row = int(np.nonzero(np.asarray(scene.sph_valid))[0][0])
+    q_row = int(np.nonzero(np.asarray(scene.quad_valid))[0][0])
     for field, idx, eps in (
         ("sph_center", (s_row, 1), 5e-2),
         ("sph_radius", (s_row,), 5e-2),
+        # Light-quad vertices (north star: "quad vertices"): the NEE
+        # contribution is smooth in the emitter's corner (distance/
+        # direction) and edge vectors (area + sample positions + cos θy).
+        ("quad_corner", (q_row, 1), 5e-2),
+        ("quad_u", (q_row, 0), 5e-2),
+        ("quad_v", (q_row, 2), 5e-2),
     ):
         v0 = getattr(scene, field)[idx]
         g = float(jax.grad(lambda v: loss_wrt(field, idx, v))(v0))
