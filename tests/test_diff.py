@@ -212,6 +212,50 @@ def test_silhouette_recovers_sphere_position():
     assert err < 0.5, f"center error {err:.3f} after 100 steps (started at 4.0)"
 
 
+def test_fit_recovers_light_quad_position():
+    """North-star "quad vertices": recover an out-of-view light quad's
+    position purely from the shading it casts (NEE contribution is smooth
+    in the emitter's corner — direction, falloff, cos terms — so this
+    needs no boundary surrogate at all)."""
+    import optax
+
+    def build(off):
+        w = World()
+        w.add_material("ground", Lambertian((0.6, 0.5, 0.4)))
+        w.add_material("ball", Lambertian((0.2, 0.3, 0.8)))
+        w.add_material("lamp", Light((14.0, 14.0, 14.0)))
+        from tinyraytracer_tpu.models.geometry import Quad
+
+        w.add_geometry(Sphere((0.0, -100.0, 0.0), 100.0, "ground"))
+        w.add_geometry(Sphere((0.0, 1.0, 0.0), 1.0, "ball"))
+        # the scene's ONLY quad, overhead and out of frame
+        w.add_geometry(Quad((-2.0 + off, 8.0, -2.0), (4.0, 0.0, 0.0),
+                            (0.0, 0.0, 4.0), "lamp"))
+        cam = Camera.new(1.0, 0.0, (0.0, 4.0, -8.0), (0.0, 1.0, 0.0),
+                         (0.0, 1.0, 0.0), 45.0, 32, 32)
+        return w.build(), cam
+
+    scene_t, cam = build(0.0)
+    bg = jnp.asarray((0.001,) * 3, jnp.float32)
+    target = trace_ops.render_image(
+        scene_t, cam, spp=32, max_bounces=3, background=bg, seed=1, nee=True
+    )
+    scene0, _ = build(2.5)
+    q_row = int(np.nonzero(np.asarray(scene0.quad_valid))[0][0])
+    true_corner = np.asarray(scene_t.quad_corner)[q_row]
+
+    step, (params, opt) = inverse.make_train_step(
+        scene0, cam, target, spp=8, max_bounces=3, background=bg, seed=0,
+        optimizer=optax.adam(0.1), trainable=("quad_corner",),
+    )
+    for i in range(80):
+        params, opt, _ = step(params, opt, i)
+    got = np.asarray(
+        apply_params(scene0, params).quad_corner)[q_row]
+    err = float(np.linalg.norm(got - true_corner))
+    assert err < 0.5, f"light corner error {err:.3f} after 80 steps (started at 2.5)"
+
+
 def test_gradients_finite_across_seeds():
     """Regression guard for the round-1 NaN: raw render_loss gradients
     (no sanitizer) must be finite across many sample rounds on a geometry
