@@ -160,6 +160,42 @@ def test_inverse_fit_recovers_albedo(down_scene):
     np.testing.assert_allclose(fitted, [0.4, 0.5, 0.6], atol=0.05)
 
 
+def test_silhouette_factor_is_value_preserving():
+    """The silhouette ratio must be EXACTLY 1 in the forward pass.
+
+    Regression: clamping only the denominator (p / max(sg(p), 1e-3))
+    darkened rays whose segment starts deep inside a non-winner sphere
+    (p < 1e-3, e.g. a small ball nested in a glass dome), silently biasing
+    render_loss(silhouette=True) and breaking parity with the fused kernel,
+    which hardcodes the forward factor to 1."""
+    w = World()
+    w.add_material("glass", Lambertian((0.9, 0.9, 0.9)))
+    w.add_material("core", Lambertian((0.1, 0.2, 0.8)))
+    w.add_geometry(Sphere((0.0, 0.0, 0.0), 2.0, "glass"))
+    w.add_geometry(Sphere((0.0, 0.0, 0.0), 0.2, "core"))
+    scene = w.build()
+    rows = np.nonzero(np.asarray(scene.sph_valid))[0]
+    inner = int(rows[1])
+    # Segment starting inside the outer sphere, winner = the small core:
+    # the outer sphere's pass-by probability p = 1 - cov is far below the
+    # 1e-3 guard, the exact case the old clamp mishandled. The ray is
+    # offset from the core's center so the silhouette gradient is nonzero.
+    o = jnp.asarray([[0.15, 0.0, -1.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    t_sel = jnp.asarray([0.95], jnp.float32)
+    j = jnp.asarray([inner], jnp.int32)
+    alive = jnp.asarray([True])
+    factor = trace_ops._silhouette_factor(scene, o, d, t_sel, j, alive)
+    np.testing.assert_array_equal(np.asarray(factor), 1.0)
+    # ...while the backward pass still carries the boundary signal.
+    g = jax.grad(
+        lambda c: trace_ops._silhouette_factor(
+            scene.replace(sph_center=c), o, d, t_sel, j, alive)[0]
+    )(scene.sph_center)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.any(np.asarray(g)[inner] != 0.0)
+
+
 @pytest.mark.slow
 def test_silhouette_recovers_sphere_position():
     """BASELINE.md gate: sphere *position* recovery from a large offset.

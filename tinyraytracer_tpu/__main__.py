@@ -71,6 +71,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         devices=devices if len(devices) > 1 else None,
         accelerator=args.accelerator,
+        sample_parallel=args.sample_parallel,
     )
     t0 = time.perf_counter()
     if args.profile:

@@ -59,12 +59,11 @@ _MISS = 3.0e38
 _TWO_PI = 6.283185307179586
 _INV_2_24 = float(1.0 / (1 << 24))
 
-# Sphere count below which the opt-in cluster cull (see _build_clusters)
-# refuses to engage. NOTE: measured on v5e the cull loses at every tested
-# size (cfg4: 1.32 vs dense 6.01 Mrays/s) — whole-tile `cond` skips are
-# too expensive relative to the 8-sphere blocks they avoid — so dense is
-# the default and the cull is opt-in only (use_clusters=True).
-CLUSTER_MIN_SPHERES = 64
+# NOTE on the opt-in cluster cull (see _build_clusters): measured on v5e
+# it loses at every tested size (cfg4: 1.32 vs dense 6.01 Mrays/s) —
+# whole-tile `cond` skips are too expensive relative to the 8-sphere
+# blocks they avoid — so dense is the default and the cull is opt-in only
+# (use_clusters=True), at any sphere count.
 _CLUSTER_P = 8       # spheres per cluster == compacted sublane group
 
 
@@ -287,6 +286,96 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
             tput_r, tput_g, tput_b, col_r, col_g, col_b, sf)
 
 
+def _regen_sample_loop(px, spp, max_bounces, spp_offset,
+                       gen_camera_ray, bounce_step):
+    """Per-lane persistent-path sample loop, shared by the classic and the
+    sublane-packed kernels (megakernel_packed.py).
+
+    Each lane owns its own (sample, bounce) cursor: the moment its path
+    dies it folds the sample into its accumulator and immediately starts
+    its next camera ray, so a lane pays ~ spp x mean path length instead of
+    spp x (tile max path). Pure per-lane selects — no compaction, no
+    cross-lane traffic except the one scalar while-condition reduce per
+    bounce. Per-lane op sequences are identical to the classic lockstep
+    rounds, so the image is bit-identical.
+
+    `px` seeds every carry with a lane-VARYING zero: splat-constant carries
+    get a lane-replicated Mosaic layout that the loop body's lane-varying
+    updates can't relayout back to ("Invalid relayout ... replicated in
+    destination but not in source").
+
+    Returns (acc_r, acc_g, acc_b): per-lane radiance SUMS over spp samples.
+    """
+    fspp = float(spp)
+    fmb = float(max_bounces)
+
+    def loop_cond(st):
+        return jnp.min(st[0]) < fspp
+
+    def loop_body(st):
+        (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+         tput_r, tput_g, tput_b, col_r, col_g, col_b,
+         acc_r, acc_g, acc_b, alive_f) = st
+
+        # fold the finished sample, start the next one (per lane)
+        need = alive_f < 0.5
+        acc_r = jnp.where(need, acc_r + col_r, acc_r)
+        acc_g = jnp.where(need, acc_g + col_g, acc_g)
+        acc_b = jnp.where(need, acc_b + col_b, acc_b)
+        samp_f = jnp.where(need, samp_f + 1.0, samp_f)
+        start = need & (samp_f < fspp)
+        # f32 -> i32 -> u32: sample counters stay < 2^24, exact
+        samp_u = spp_offset + jnp.maximum(samp_f, 0.0).astype(
+            jnp.int32).astype(jnp.uint32)
+        gox, goy, goz, gdx, gdy, gdz = gen_camera_ray(samp_u)
+        ox = jnp.where(start, gox, ox)
+        oy = jnp.where(start, goy, oy)
+        oz = jnp.where(start, goz, oz)
+        dx = jnp.where(start, gdx, dx)
+        dy = jnp.where(start, gdy, dy)
+        dz = jnp.where(start, gdz, dz)
+        col_r = jnp.where(need, 0.0, col_r)
+        col_g = jnp.where(need, 0.0, col_g)
+        col_b = jnp.where(need, 0.0, col_b)
+        tput_r = jnp.where(start, 1.0, tput_r)
+        tput_g = jnp.where(start, 1.0, tput_g)
+        tput_b = jnp.where(start, 1.0, tput_b)
+        bnc_f = jnp.where(start, 0.0, bnc_f)
+        alive_f = jnp.where(start, 1.0, alive_f)
+
+        # one bounce for whoever is live
+        was_alive = alive_f
+        bctr = bnc_f.astype(jnp.int32).astype(jnp.uint32)
+        (ox, oy, oz, dx, dy, dz,
+         tput_r, tput_g, tput_b, col_r, col_g, col_b,
+         alive_f) = bounce_step(
+            samp_u, bctr,
+            (ox, oy, oz, dx, dy, dz,
+             tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f))
+        # budget exhaustion kills with NO background add (cpu.rs:47-62)
+        bnc_f = bnc_f + was_alive
+        alive_f = jnp.where(bnc_f < fmb, alive_f, 0.0)
+        return (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+                tput_r, tput_g, tput_b, col_r, col_g, col_b,
+                acc_r, acc_g, acc_b, alive_f)
+
+    v0 = px * 0.0
+    z0 = lambda: v0
+    o0 = lambda: v0 + 1.0
+    st0 = (
+        v0 - 1.0,                               # samp: pre-first
+        z0(),                                   # bounce counter
+        z0(), z0(), z0(),                       # o (regen'd first)
+        z0(), z0(), o0(),                       # d (inert +z)
+        o0(), o0(), o0(),                       # throughput
+        z0(), z0(), z0(),                       # sample color
+        z0(), z0(), z0(),                       # accumulator
+        z0(),                                   # dead -> regen
+    )
+    st = jax.lax.while_loop(loop_cond, loop_body, st0)
+    return st[14], st[15], st[16]
+
+
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
                  n_clusters: int = 0, regen: bool = False):
@@ -323,7 +412,7 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         quad_bv_ref, quad_cb_ref,
         pay_ref,        # (16, NA) f32 ACTIVE payload rows (see _payload_matrix)
         # optional cluster tables (present iff n_clusters > 0)
-        *cluster_refs,  # cmin (K,3), cmax (K,3), geo (32,K) + out_ref last
+        *cluster_refs,  # cmin (K,3), cmax (K,3) + out_ref last
     ):
         out_ref = cluster_refs[-1]   # (3, TR) f32 mean radiance
         if n_clusters:
@@ -593,83 +682,11 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             # work (~ spp x mean path, not spp x max path) is done; per-lane
             # op sequences are identical to the classic path, so the image
             # is bit-identical. This is the TPU answer to the GPU wavefront
-            # path tracers' ray-regeneration stage — done with pure per-lane
-            # selects, no compaction, no cross-lane traffic except the
-            # one scalar while-condition reduce per bounce.
-            fspp = float(spp)
-            fmb = float(max_bounces)
-
-            def loop_cond(st):
-                return jnp.min(st[0]) < fspp
-
-            def loop_body(st):
-                (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
-                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
-                 acc_r, acc_g, acc_b, alive_f) = st
-
-                # fold the finished sample, start the next one (per lane)
-                need = alive_f < 0.5
-                acc_r = jnp.where(need, acc_r + col_r, acc_r)
-                acc_g = jnp.where(need, acc_g + col_g, acc_g)
-                acc_b = jnp.where(need, acc_b + col_b, acc_b)
-                samp_f = jnp.where(need, samp_f + 1.0, samp_f)
-                start = need & (samp_f < fspp)
-                # f32 -> i32 -> u32: sample counters stay < 2^24, exact
-                samp_u = spp_offset + jnp.maximum(samp_f, 0.0).astype(
-                    jnp.int32).astype(jnp.uint32)
-                gox, goy, goz, gdx, gdy, gdz = gen_camera_ray(samp_u)
-                ox = jnp.where(start, gox, ox)
-                oy = jnp.where(start, goy, oy)
-                oz = jnp.where(start, goz, oz)
-                dx = jnp.where(start, gdx, dx)
-                dy = jnp.where(start, gdy, dy)
-                dz = jnp.where(start, gdz, dz)
-                col_r = jnp.where(need, 0.0, col_r)
-                col_g = jnp.where(need, 0.0, col_g)
-                col_b = jnp.where(need, 0.0, col_b)
-                tput_r = jnp.where(start, 1.0, tput_r)
-                tput_g = jnp.where(start, 1.0, tput_g)
-                tput_b = jnp.where(start, 1.0, tput_b)
-                bnc_f = jnp.where(start, 0.0, bnc_f)
-                alive_f = jnp.where(start, 1.0, alive_f)
-
-                # one bounce for whoever is live
-                was_alive = alive_f
-                bctr = bnc_f.astype(jnp.int32).astype(jnp.uint32)
-                (ox, oy, oz, dx, dy, dz,
-                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
-                 alive_f) = bounce_step(
-                    samp_u, bctr,
-                    (ox, oy, oz, dx, dy, dz,
-                     tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f))
-                # budget exhaustion kills with NO background add
-                # (cpu.rs:47-62)
-                bnc_f = bnc_f + was_alive
-                alive_f = jnp.where(bnc_f < fmb, alive_f, 0.0)
-                return (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
-                        tput_r, tput_g, tput_b, col_r, col_g, col_b,
-                        acc_r, acc_g, acc_b, alive_f)
-
-            # v0 is a lane-VARYING zero: splat-constant carries get a
-            # lane-replicated Mosaic layout that the loop body's
-            # lane-varying updates can't relayout back to ("Invalid
-            # relayout ... replicated in destination but not in source"),
-            # so every carry is seeded through it.
-            v0 = px * 0.0
-            z0 = lambda: v0
-            o0 = lambda: v0 + 1.0
-            st0 = (
-                v0 - 1.0,                               # samp: pre-first
-                z0(),                                   # bounce counter
-                z0(), z0(), z0(),                       # o (regen'd first)
-                z0(), z0(), o0(),                       # d (inert +z)
-                o0(), o0(), o0(),                       # throughput
-                z0(), z0(), z0(),                       # sample color
-                z0(), z0(), z0(),                       # accumulator
-                z0(),                                   # dead -> regen
-            )
-            st = jax.lax.while_loop(loop_cond, loop_body, st0)
-            ar, ag, ab = st[14], st[15], st[16]
+            # path tracers' ray-regeneration stage (shared with the packed
+            # kernel: _regen_sample_loop).
+            ar, ag, ab = _regen_sample_loop(
+                px, spp, max_bounces, spp_offset,
+                gen_camera_ray, bounce_step)
         else:
             def sample_body(s, acc):
                 sample_id = spp_offset + s.astype(jnp.uint32)
@@ -727,7 +744,7 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
     """
     ns, nq = cs.ns, cs.nq
     n = ns + nq
-    pay = np.zeros((24, n), np.float32)
+    pay = np.zeros((16, n), np.float32)
     idx = np.asarray(cs.index_map)
     sph_n_total = np.asarray(scene.sph_center).shape[0]
 
@@ -735,7 +752,6 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
     pay[1, :ns] = sph_c[:, 0]
     pay[2, :ns] = sph_c[:, 1]
     pay[3, :ns] = sph_c[:, 2]
-    pay[16, :ns] = np.asarray(cs.sph_r2)[:, 0]
 
     qn = np.asarray(cs.quad_n)
     qlen = np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-30)
@@ -1034,10 +1050,12 @@ class MegakernelRenderer:
             # Sublane-packed layout: default for small scenes (the per-ray
             # chain dominates there and packing fills 8x the VPU per op);
             # large scenes keep the classic candidate matrix, whose sublane
-            # rows are the primitives themselves.
+            # rows are the primitives themselves. Explicit regen/early_exit
+            # arguments force the classic kernel — the packed path has no
+            # lockstep mode and would silently drop the flags.
             from tinyraytracer_tpu.ops import megakernel_packed as mkp
             n_real = self.cs.n_sph_real + self.cs.n_quad_real
-            packed = (regen is not False and mesh is None
+            packed = (regen is None and early_exit is None and mesh is None
                       and self.clusters is None and not tile_rays
                       and n_real <= mkp.PACKED_MAX_PRIMS)
         if packed:

@@ -45,6 +45,7 @@ from tinyraytracer_tpu.ops.megakernel import (
     _MISS,
     _T_MIN,
     _TWO_PI,
+    _regen_sample_loop,
     _shade_bounce,
     _uniform4,
     _normalize3,
@@ -255,80 +256,16 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple):
                 alive, best_t, hit, *w,
                 u1, u2, u3, u4, bg_r, bg_g, bg_b)
 
-        fspp = float(spp)
-        fmb = float(max_bounces)
-
-        def loop_cond(st):
-            return jnp.min(st[0]) < fspp
-
-        def loop_body(st):
-            (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
-             tput_r, tput_g, tput_b, col_r, col_g, col_b,
-             acc_r, acc_g, acc_b, alive_f) = st
-
-            # fold the finished sample, start the next one (per lane)
-            need = alive_f < 0.5
-            acc_r = jnp.where(need, acc_r + col_r, acc_r)
-            acc_g = jnp.where(need, acc_g + col_g, acc_g)
-            acc_b = jnp.where(need, acc_b + col_b, acc_b)
-            samp_f = jnp.where(need, samp_f + 1.0, samp_f)
-            start = need & (samp_f < fspp)
-            # f32 -> i32 -> u32: sample counters stay < 2^24, exact
-            samp_u = spp_offset + jnp.maximum(samp_f, 0.0).astype(
-                jnp.int32).astype(jnp.uint32)
-            gox, goy, goz, gdx, gdy, gdz = gen_camera_ray(samp_u)
-            ox = jnp.where(start, gox, ox)
-            oy = jnp.where(start, goy, oy)
-            oz = jnp.where(start, goz, oz)
-            dx = jnp.where(start, gdx, dx)
-            dy = jnp.where(start, gdy, dy)
-            dz = jnp.where(start, gdz, dz)
-            col_r = jnp.where(need, 0.0, col_r)
-            col_g = jnp.where(need, 0.0, col_g)
-            col_b = jnp.where(need, 0.0, col_b)
-            tput_r = jnp.where(start, 1.0, tput_r)
-            tput_g = jnp.where(start, 1.0, tput_g)
-            tput_b = jnp.where(start, 1.0, tput_b)
-            bnc_f = jnp.where(start, 0.0, bnc_f)
-            alive_f = jnp.where(start, 1.0, alive_f)
-
-            # one bounce for whoever is live
-            was_alive = alive_f
-            bctr = bnc_f.astype(jnp.int32).astype(jnp.uint32)
-            (ox, oy, oz, dx, dy, dz,
-             tput_r, tput_g, tput_b, col_r, col_g, col_b,
-             alive_f) = bounce_step(
-                samp_u, bctr,
-                (ox, oy, oz, dx, dy, dz,
-                 tput_r, tput_g, tput_b, col_r, col_g, col_b, alive_f))
-            # budget exhaustion kills with NO background add (cpu.rs:47-62)
-            bnc_f = bnc_f + was_alive
-            alive_f = jnp.where(bnc_f < fmb, alive_f, 0.0)
-            return (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
-                    tput_r, tput_g, tput_b, col_r, col_g, col_b,
-                    acc_r, acc_g, acc_b, alive_f)
-
-        # lane-varying zero seed for every carry (see megakernel regen:
-        # splat-constant carries get a replicated Mosaic layout the
-        # lane-varying loop updates can't relayout back to)
-        v0 = px * 0.0
-        z0 = lambda: v0
-        o0 = lambda: v0 + 1.0
-        st0 = (
-            v0 - 1.0,                               # samp: pre-first
-            z0(),                                   # bounce counter
-            z0(), z0(), z0(),                       # o (regen'd first)
-            z0(), z0(), o0(),                       # d (inert +z)
-            o0(), o0(), o0(),                       # throughput
-            z0(), z0(), z0(),                       # sample color
-            z0(), z0(), z0(),                       # accumulator
-            z0(),                                   # dead -> regen
-        )
-        st = jax.lax.while_loop(loop_cond, loop_body, st0)
+        # Per-lane persistent-path sample loop, shared op for op with the
+        # classic kernel (megakernel._regen_sample_loop) — one source for
+        # the fold/start/budget bookkeeping keeps the bitwise-parity
+        # invariant a single point of change.
+        acc_r, acc_g, acc_b = _regen_sample_loop(
+            px, spp, max_bounces, spp_offset, gen_camera_ray, bounce_step)
         inv = 1.0 / float(spp)
-        outr_ref[...] = st[14] * inv
-        outg_ref[...] = st[15] * inv
-        outb_ref[...] = st[16] * inv
+        outr_ref[...] = acc_r * inv
+        outg_ref[...] = acc_g * inv
+        outb_ref[...] = acc_b * inv
 
     return kernel
 

@@ -268,7 +268,13 @@ def _silhouette_factor(scene, o, d, t_sel, j, alive):
     cov = jax.nn.sigmoid((r - dmin) / w)
     p = jnp.where(is_sph_winner, cov, 1.0 - cov)
     p = jnp.where(scene.sph_valid[:, None] & alive[None, :], p, 1.0)
-    ratio = p / jnp.maximum(sg(p), 1e-3)
+    # Clamp p BEFORE forming the ratio so numerator and denominator always
+    # match: the forward value is exactly 1 (parity with the fused kernel,
+    # which hardcodes it — ops/diffkernel.py) and only the gradient flows.
+    # Clamping just the denominator would darken the forward render
+    # whenever p < 1e-3 (e.g. a segment originating deep inside a sphere).
+    p = jnp.maximum(p, 1e-3)
+    ratio = p / sg(p)
     return jnp.prod(ratio, axis=0)                         # (R,)
 
 

@@ -38,6 +38,7 @@ class Renderer:
         devices: Optional[Sequence[jax.Device]] = None,
         spp_per_round: int = 0,
         accelerator: str = "auto",
+        sample_parallel: int = 1,
     ):
         self.samples_per_pixel = int(samples_per_pixel)
         self.max_bounces = int(max_bounces)
@@ -59,6 +60,14 @@ class Renderer:
         if accelerator not in ("auto", "megakernel", "bvh", "none"):
             raise ValueError(f"unknown accelerator {accelerator!r}")
         self.accelerator = accelerator
+        # Devices cooperating on the same pixels (splitting spp); the rest
+        # of the mesh splits the pixel grid. spp must be divisible by it.
+        self.sample_parallel = int(sample_parallel) if sample_parallel else 1
+        if self.samples_per_pixel % self.sample_parallel:
+            raise ValueError(
+                f"samples_per_pixel={self.samples_per_pixel} not divisible "
+                f"by sample_parallel={self.sample_parallel}"
+            )
 
     # Valid-primitive count above which "auto" switches to the BVH.
     _BVH_AUTO_THRESHOLD = 192
@@ -96,7 +105,8 @@ class Renderer:
             if self.devices is not None and len(self.devices) > 1:
                 from tinyraytracer_tpu.parallel.sharded import make_mesh
 
-                mesh = make_mesh(self.devices)
+                mesh = make_mesh(self.devices,
+                                 sample_parallel=self.sample_parallel)
             mk = MegakernelRenderer(scene, camera, self.background_color)
             return mk.render(
                 spp=self.samples_per_pixel,
@@ -117,6 +127,7 @@ class Renderer:
                 seed=self.seed,
                 devices=self.devices,
                 bvh=bvh,
+                sample_parallel=self.sample_parallel,
             )
         return trace_ops.render_image(
             scene,
@@ -159,9 +170,12 @@ class Renderer:
                     make_mesh,
                 )
 
-                mesh = make_mesh(self.devices)
+                mesh = make_mesh(self.devices,
+                                 sample_parallel=self.sample_parallel)
                 n_sample = mesh.shape[SAMPLE_AXIS]
-                # spp chunks must stay divisible by the sample axis.
+                # spp chunks must stay divisible by the sample axis; the
+                # __init__ divisibility check on spp itself guarantees the
+                # tail round (spp - off) is a multiple of n_sample too.
                 chunk = max(n_sample, (chunk // n_sample) * n_sample)
                 rounds = [
                     (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
