@@ -66,6 +66,28 @@ def test_uneven_pixel_count_pads_correctly():
     np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
 
 
+def test_renderer_sample_parallel_wiring(cornell_small):
+    """Renderer(sample_parallel=N) reaches the sharded path: a (4 tile x 2
+    sample) mesh render through the public API matches the single-device
+    reference within summation-order rounding, in both the batch and the
+    progress-bar paths."""
+    from tinyraytracer_tpu.renderer import Renderer
+
+    scene, camera, kw, ref = cornell_small
+    for progressbar in (False, True):
+        r = Renderer(
+            samples_per_pixel=4, max_bounces=4,
+            background_color=kw["background"], seed=0,
+            devices=jax.devices(), sample_parallel=2,
+            progressbar=progressbar, spp_per_round=2,
+        )
+        if progressbar:
+            img = r._render_with_progress(camera, scene)
+        else:
+            img = r.render_array(camera, scene)
+        np.testing.assert_allclose(np.asarray(img), ref, rtol=0, atol=1e-6)
+
+
 def test_driver_dryrun_multichip():
     import sys, os
 

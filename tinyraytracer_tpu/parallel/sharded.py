@@ -88,16 +88,19 @@ def _render_flat_sharded(
     mesh: Mesh,
     exact: bool = False,
     bvh=None,
+    spp_offset=0,
 ):
     """Sharded flat render: pixel_id split over "tile", spp over "sample".
 
-    `bvh` (a BVHArrays or None) is replicated like the scene."""
+    `bvh` (a BVHArrays or None) is replicated like the scene. `spp_offset`
+    (traced u32) shifts every shard's sample ids — chunked progress rounds
+    partition [0, spp) across calls exactly like the single-device path."""
     n_sample = mesh.shape[SAMPLE_AXIS]
     if spp % n_sample != 0:
         raise ValueError(f"spp={spp} not divisible by sample axis size {n_sample}")
     spp_local = spp // n_sample
 
-    def body(scene, camera, background, seed, bvh, pids):
+    def body(scene, camera, background, seed, spp_offset, bvh, pids):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.uint32)
         img = trace_ops.render_pixels(
             scene,
@@ -108,7 +111,7 @@ def _render_flat_sharded(
             background=background,
             seed=seed,
             exact=exact,
-            spp_offset=s_idx * jnp.uint32(spp_local),
+            spp_offset=spp_offset + s_idx * jnp.uint32(spp_local),
             bvh=bvh,
         )
         # Mean of per-shard means over equal shards == global mean
@@ -121,11 +124,12 @@ def _render_flat_sharded(
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(TILE_AXIS)),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(TILE_AXIS)),
         out_specs=P(TILE_AXIS, None),
         check_vma=False,
     )
-    return f(scene, camera, background, seed, bvh, pixel_id)
+    return f(scene, camera, background, seed, jnp.uint32(spp_offset), bvh,
+             pixel_id)
 
 
 def render_image_sharded(
@@ -141,6 +145,7 @@ def render_image_sharded(
     sample_parallel: int = 1,
     exact: bool = False,
     bvh=None,
+    spp_offset: int = 0,
 ) -> jax.Array:
     """Full-image render sharded over a device mesh.
 
@@ -164,5 +169,6 @@ def render_image_sharded(
         mesh=mesh,
         exact=exact,
         bvh=bvh,
+        spp_offset=spp_offset,
     )
     return img[:npix].reshape(h, w, 3)

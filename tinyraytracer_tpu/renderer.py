@@ -155,6 +155,17 @@ class Renderer:
         callbacks would serialize the device)."""
         spp = self.samples_per_pixel
         chunk = self.spp_per_round or max(1, spp // 20)
+        mesh = None
+        if self.devices is not None and len(self.devices) > 1:
+            from tinyraytracer_tpu.parallel.sharded import SAMPLE_AXIS, make_mesh
+
+            mesh = make_mesh(self.devices,
+                             sample_parallel=self.sample_parallel)
+            n_sample = mesh.shape[SAMPLE_AXIS]
+            # spp chunks must stay divisible by the sample axis; the
+            # __init__ divisibility check on spp itself guarantees the
+            # tail round (spp - off) is a multiple of n_sample too.
+            chunk = max(n_sample, (chunk // n_sample) * n_sample)
         rounds = [
             (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
         ]
@@ -163,29 +174,29 @@ class Renderer:
         if self._use_megakernel():
             from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
-            mesh = None
-            if self.devices is not None and len(self.devices) > 1:
-                from tinyraytracer_tpu.parallel.sharded import (
-                    SAMPLE_AXIS,
-                    make_mesh,
-                )
-
-                mesh = make_mesh(self.devices,
-                                 sample_parallel=self.sample_parallel)
-                n_sample = mesh.shape[SAMPLE_AXIS]
-                # spp chunks must stay divisible by the sample axis; the
-                # __init__ divisibility check on spp itself guarantees the
-                # tail round (spp - off) is a multiple of n_sample too.
-                chunk = max(n_sample, (chunk // n_sample) * n_sample)
-                rounds = [
-                    (off, min(chunk, spp - off)) for off in range(0, spp, chunk)
-                ]
             mk = MegakernelRenderer(scene, camera, self.background_color)
             acc = jnp.zeros((h, w, 3), jnp.float32)
             for off, n in rounds:
                 part = mk.render(
                     spp=n, max_bounces=self.max_bounces,
                     seed=self.seed, spp_offset=off, mesh=mesh,
+                )
+                acc = acc + part * (n / spp)
+                bar.update(n)
+            bar.close()
+            return acc
+        if mesh is not None:
+            # Modular path over the mesh: each progress round is a sharded
+            # render of its sample slice (chunks partition [0, spp)).
+            from tinyraytracer_tpu.parallel.sharded import render_image_sharded
+
+            bvh = self._maybe_bvh(scene)
+            acc = jnp.zeros((h, w, 3), jnp.float32)
+            for off, n in rounds:
+                part = render_image_sharded(
+                    scene, camera, spp=n, max_bounces=self.max_bounces,
+                    background=self.background_color, seed=self.seed,
+                    mesh=mesh, spp_offset=off, bvh=bvh,
                 )
                 acc = acc + part * (n / spp)
                 bar.update(n)
