@@ -38,7 +38,9 @@ def main(argv=None) -> int:
     ap.add_argument("--progress", action="store_true",
                     help="progress bar (the indicatif analog)")
     ap.add_argument("--accelerator", default="auto",
-                    choices=("auto", "bvh", "none"))
+                    choices=("auto", "megakernel", "bvh", "none"),
+                    help="auto: megakernel on TPU, else modular (+BVH on "
+                         "large scenes); or force a specific path")
     ap.add_argument("--sample-parallel", type=int, default=1,
                     help="devices cooperating on the same pixels")
     ap.add_argument("--profile", default=None, metavar="DIR",
