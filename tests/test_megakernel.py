@@ -44,6 +44,24 @@ def test_regen_edge_budgets():
         np.testing.assert_array_equal(np.asarray(regen), np.asarray(classic))
 
 
+def test_explicit_flags_bypass_packed(monkeypatch):
+    """Explicit regen/early_exit arguments must run the CLASSIC kernel: the
+    packed path has no lockstep mode and would silently drop the flags
+    (regression: the auto-select used to reroute regen=True to packed)."""
+    import tinyraytracer_tpu.ops.megakernel_packed as mkp
+
+    def _fail(*a, **k):
+        raise AssertionError("packed kernel must not run for explicit flags")
+
+    monkeypatch.setattr(mkp, "_render_packed", _fail)
+    world, camera, kw = presets.three_spheres(width=16, height=12)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"], interpret=True)
+    r.render(spp=1, max_bounces=2, seed=0, regen=True)
+    r.render(spp=1, max_bounces=2, seed=0, regen=False)
+    r.render(spp=1, max_bounces=2, seed=0, early_exit=False)
+
+
 @pytest.mark.parametrize("name", ["cornell_spheres", "three_spheres"])
 def test_regen_matches_classic(name):
     """The sample-regeneration loop (persistent lanes) must be bitwise
