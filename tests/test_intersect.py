@@ -177,3 +177,46 @@ def test_empty_padding_never_hits():
     o, d = _rays(([5, 5, 5], [1, 0, 0]), ([-3, 0, 0], [-1, 0, 0]))
     rec = isect.intersect_scene(scene, o, d)
     assert not np.asarray(rec.hit).any()
+
+
+def test_compact_padding_inert_for_diagonal_rays():
+    """Regression: compacted pad-quad rows (corner at 1e30) could fake-hit
+    a ray with dx==dy==dz — fl(fl(1e30/dz)*dx) == 1e30 makes alpha/beta
+    cancel into [0,1). Pad rows now carry u = v = 0 (zero normal) and every
+    kernel guards |n.d| >= 1e-12, so they are deterministically inert."""
+    from tinyraytracer_tpu.ops.intersect_pallas import (
+        closest_hit_pallas,
+        compact_scene,
+    )
+
+    # one real quad the diagonal rays miss -> 7 padded quad rows
+    scene = _scene([Quad((100.0, -50.0, -50.0), (0, 1, 0), (0, 0, 1), "m")])
+    cs = compact_scene(scene)
+    inv = 1.0 / np.sqrt(3.0)
+    o = jnp.asarray([[0.25, 0.5, 0.75], [0.0, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[inv, inv, inv], [inv, inv, inv]], jnp.float32)
+    t, j = closest_hit_pallas(cs, o, d, interpret=True)
+    assert (np.asarray(j) == -1).all(), (np.asarray(t), np.asarray(j))
+    # dense-path agreement (the oracle masks quad_valid directly)
+    rec = isect.intersect_scene(scene, o, d)
+    assert not np.asarray(rec.hit).any()
+
+
+def test_grazing_quad_ray_rejected_everywhere():
+    """|n.d| < 1e-12 is a miss in the dense oracle (quad_ts); the Pallas
+    selection kernel must agree instead of keeping a clamped, possibly
+    sign-flipped plane t."""
+    from tinyraytracer_tpu.ops.intersect_pallas import (
+        closest_hit_pallas,
+        compact_scene,
+    )
+
+    scene = _scene([Quad((-1.0, 0.0, -1.0), (2, 0, 0), (0, 0, 2), "m")])
+    cs = compact_scene(scene)
+    # ray in the quad's own plane (n = +y, d.n = 0), passing inside bounds
+    o = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    t, j = closest_hit_pallas(cs, o, d, interpret=True)
+    assert int(np.asarray(j)[0]) == -1
+    rec = isect.intersect_scene(scene, o, d)
+    assert not bool(np.asarray(rec.hit)[0])

@@ -574,7 +574,10 @@ def fit(
             params, opt_state, loss = step_fn(params, opt_state, i, compact)
         else:
             params, opt_state, loss = step_fn(params, opt_state, i)
-        losses.append(float(loss))
+        # Keep the device scalar: float(loss) here would sync every step
+        # and serialize dispatch against execution. Materialized at
+        # log/return boundaries only.
+        losses.append(loss)
         if i >= avg_from:
             avg_n += 1
             if avg_params is None:
@@ -590,4 +593,4 @@ def fit(
             save_checkpoint(checkpoint_path, params, opt_state, i + 1)
     if avg_params is not None:
         params = avg_params
-    return apply_params(scene_template, params), losses
+    return apply_params(scene_template, params), [float(x) for x in losses]

@@ -88,31 +88,37 @@ class SceneArrays:
 # otherwise win ~25% more z-fights here than in the reference, brightening
 # the whole image).
 
-_REF_PAD = np.float32(0.0001 / 2.0)  # aabb.rs:14-17
+# Shared with ops/bvh.py's host builder (and mirrored by the C++ builder in
+# native/src/tinyrt.cpp): ONE Python source for the reference split policy —
+# the z-fight tie parity above holds only while storage order (built here)
+# and BVH visit order (built there) agree on pad + axis rule.
+REF_AABB_PAD = np.float32(0.0001 / 2.0)  # aabb.rs:14-17 (1e-4 total/axis)
+
+
+def ref_longest_axis(mn: np.ndarray, mx: np.ndarray) -> int:
+    """aabb.rs:63-78 longest axis; equal extents resolve to z (the
+    reference's if/else chain requires strictly greater extent for x/y)."""
+    s = mx - mn
+    if s[0] > s[1]:
+        return 0 if s[0] > s[2] else 2
+    return 1 if s[1] > s[2] else 2
 
 
 def _ref_bbox(g) -> Tuple[np.ndarray, np.ndarray]:
     if isinstance(g, Sphere):
         c = np.asarray(g.center, np.float32)
         r = np.float32(abs(g.radius))
-        return c - r - _REF_PAD, c + r + _REF_PAD  # sphere.rs:16-25
+        return c - r - REF_AABB_PAD, c + r + REF_AABB_PAD  # sphere.rs:16-25
     if isinstance(g, Quad):
         c = np.asarray(g.corner, np.float32)
         u = np.asarray(g.u, np.float32)
         v = np.asarray(g.v, np.float32)
         pts = np.stack([c, c + u + v, c + u, c + v])  # quad.rs:21-23
-        return pts.min(0) - _REF_PAD, pts.max(0) + _REF_PAD
+        return pts.min(0) - REF_AABB_PAD, pts.max(0) + REF_AABB_PAD
     if isinstance(g, Group):
         mns, mxs = zip(*(_ref_bbox(m) for m in g.members))
         return np.min(mns, axis=0), np.max(mxs, axis=0)
     raise TypeError(type(g))
-
-
-def _ref_longest_axis(mn: np.ndarray, mx: np.ndarray) -> int:
-    s = mx - mn  # aabb.rs:63-78 (note the tie rule: equal extents -> z)
-    if s[0] > s[1]:
-        return 0 if s[0] > s[2] else 2
-    return 1 if s[1] > s[2] else 2
 
 
 def _reference_visit_order(geometries) -> Tuple[List[int], List[int]]:
@@ -158,7 +164,7 @@ def _reference_visit_order(geometries) -> Tuple[List[int], List[int]]:
             return
         mn = np.min([o[0] for o in objs], axis=0)
         mx = np.max([o[1] for o in objs], axis=0)
-        axis = _ref_longest_axis(mn, mx)
+        axis = ref_longest_axis(mn, mx)
         objs = sorted(objs, key=lambda o: o[0][axis])  # stable, like sort_by
         mid = len(objs) // 2
         visit(objs[:mid])

@@ -35,18 +35,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tinyraytracer_tpu.models import world as _world
 from tinyraytracer_tpu.models.world import SceneArrays
 from tinyraytracer_tpu.ops.intersect import (
     MISS_T,
     T_MIN,
     HitRecord,
-    hit_record_from,
     prim_t,
+    select_to_record,
 )
 
 # AABB padding: the reference pads each axis by 1e-4 total, 5e-5 per side
-# (aabb.rs:13-19).
-AABB_PAD = 5.0e-5
+# (aabb.rs:13-19). Shared with models/world.py's reference-visit-order
+# emulation — storage order and BVH visit order must agree on the policy
+# or the Cornell z-fight tie parity silently breaks.
+AABB_PAD = float(_world.REF_AABB_PAD)
 
 
 @jax.tree_util.register_dataclass
@@ -131,13 +134,8 @@ def _build_host(bb_min: np.ndarray, bb_max: np.ndarray, prim_ids: np.ndarray):
             hit_link[idx] = escape  # unused for leaves; keep well-defined
             continue
         hit_link[idx] = idx + 1
-        # aabb.rs:63-78 longest_axis; ties resolve to z like the reference's
-        # if/else chain (strictly greater extent required to pick x or y).
-        sx, sy, sz = (mx - mn).tolist()
-        if sx > sy:
-            axis = 0 if sx > sz else 2
-        else:
-            axis = 1 if sy > sz else 2
+        # aabb.rs:63-78 longest_axis (shared: models/world.py, ties -> z)
+        axis = _world.ref_longest_axis(mn, mx)
         if k == 2:
             left, right = members[:1], members[1:]  # bvh.rs:58-67 (no sort)
         else:
@@ -160,18 +158,20 @@ def build_bvh(scene: SceneArrays, use_native: bool = True) -> BVHArrays:
         raise ValueError("cannot build a BVH over an empty scene")
     built = None
     if use_native:
+        # Graceful fallback covers MISSING native bits only (no compiler /
+        # unbuilt library); a runtime error from a present builder is a
+        # real defect and must surface, not silently take the slow path.
         try:
             from tinyraytracer_tpu.native import runtime
-
-            if runtime.available():
-                nm, nx, hl, ml, lp = runtime.bvh_build(bb_min, bb_max)
-                # Native builder works in local prim order; map to global ids.
-                lp = np.where(lp >= 0, prim_ids[np.maximum(lp, 0)], -1).astype(
-                    np.int32
-                )
-                built = (nm, nx, hl, ml, lp)
-        except Exception:
-            built = None
+        except ImportError:
+            runtime = None
+        if runtime is not None and runtime.available():
+            nm, nx, hl, ml, lp = runtime.bvh_build(bb_min, bb_max)
+            # Native builder works in local prim order; map to global ids.
+            lp = np.where(lp >= 0, prim_ids[np.maximum(lp, 0)], -1).astype(
+                np.int32
+            )
+            built = (nm, nx, hl, ml, lp)
     if built is None:
         built = _build_host(bb_min, bb_max, prim_ids)
     nm, nx, hl, ml, lp = built
@@ -272,10 +272,10 @@ def intersect_scene_bvh(
     The while_loop only selects the winner (detached); the winner's t is
     recomputed differentiably, so `jax.grad` through this path matches the
     brute-force path exactly (SURVEY.md §7 phase 8: detach discrete hit
-    selection, reparameterize the continuous terms).
+    selection, reparameterize the continuous terms). Record assembly is the
+    shared select_to_record so all three selection paths keep one
+    miss-fallback policy.
     """
-    _, j = traverse(scene, bvh, o, d, t_min, t_max)
-    hit = j >= 0
-    t = prim_t(scene, o, d, jnp.maximum(j, 0), t_min, t_max)
-    t = jnp.where(hit, t, MISS_T)
-    return hit_record_from(scene, o, d, t, jnp.maximum(j, 0))
+    t_sel, j = traverse(scene, bvh, o, d, t_min, t_max)
+    t_sel = jnp.where(j >= 0, t_sel, MISS_T)
+    return select_to_record(scene, o, d, t_sel, j, t_min, t_max)

@@ -301,13 +301,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             ts = jnp.where(disc >= 0.0, ts, _MISS)
 
             den = qnx * dx + qny * dy + qnz * dz
-            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+            # grazing-ray validity guard (megakernel._quad_best)
+            ok_den = jnp.abs(den) >= 1e-12
+            den = jnp.where(ok_den, den, 1e-12)
             tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
             al = (avx * ox + avy * oy + avz * oz) + tq * (
                 avx * dx + avy * dy + avz * dz) - qca
             be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
                 bvx * dx + bvy * dy + bvz * dz) - qcb
-            ok = ((tq >= _T_MIN) & (tq < _MISS)
+            ok = (ok_den & (tq >= _T_MIN) & (tq < _MISS)
                   & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
             tq = jnp.where(ok, tq, _MISS)
 

@@ -124,11 +124,14 @@ def compact_scene(scene: SceneArrays, sphere_order=None) -> CompactScene:
     sph_c[: len(s_idx)] = sc[s_idx]
     sph_r2[: len(s_idx), 0] = sr[s_idx] ** 2
 
+    # Padded quad rows keep u = v = 0: the zero normal fails every kernel's
+    # |n.d| >= 1e-12 validity guard, so pad rows are DETERMINISTICALLY
+    # inert. (The previous 1e30-corner padding relied on alpha/beta landing
+    # out of [0,1), which catastrophic cancellation could defeat for rays
+    # with dx==dy==dz to within rounding.)
     corner = np.full((nq, 3), _FAR, np.float32)
     u = np.zeros((nq, 3), np.float32)
     v = np.zeros((nq, 3), np.float32)
-    u[:, 0] = 1.0
-    v[:, 1] = 1.0
     corner[: len(q_idx)] = qc[q_idx]
     u[: len(q_idx)] = qu[q_idx]
     v[: len(q_idx)] = qv[q_idx]
@@ -201,7 +204,11 @@ def _closest_hit_kernel(
     ny = quad_n_ref[:, 1:2]
     nz = quad_n_ref[:, 2:3]
     denom = nx * dx + ny * dy + nz * dz          # (Nq, TR)
-    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    # Validity guard BEFORE the clamp (dense-oracle parity,
+    # ops/intersect.py quad_ts): a grazing ray (|n.d| < 1e-12) is no hit —
+    # clamping alone would keep a sign-flipped t for negative denom.
+    ok_den = jnp.abs(denom) >= 1e-12
+    denom = jnp.where(ok_den, denom, 1e-12)
     tq = (quad_dp_ref[:, 0:1] - (nx * ox + ny * oy + nz * oz)) / denom
     avx = quad_av_ref[:, 0:1]
     avy = quad_av_ref[:, 1:2]
@@ -216,7 +223,7 @@ def _closest_hit_kernel(
         bvx * dx + bvy * dy + bvz * dz
     ) - quad_cb_ref[:, 0:1]
     ok = (
-        (tq >= t_min) & (tq < miss)
+        ok_den & (tq >= t_min) & (tq < miss)
         & (alpha >= 0.0) & (alpha < 1.0)
         & (beta >= 0.0) & (beta < 1.0)
     )

@@ -471,13 +471,17 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
 
         def _quad_best(ox, oy, oz, dx, dy, dz):
             den = qnx * dx + qny * dy + qnz * dz
-            den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+            # grazing-ray validity guard (dense-oracle parity,
+            # ops/intersect.py quad_ts); also keeps zero-normal pad rows
+            # deterministically inert
+            ok_den = jnp.abs(den) >= 1e-12
+            den = jnp.where(ok_den, den, 1e-12)
             tq = (qdp - (qnx * ox + qny * oy + qnz * oz)) / den
             al = (avx * ox + avy * oy + avz * oz) + tq * (
                 avx * dx + avy * dy + avz * dz) - qca
             be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
                 bvx * dx + bvy * dy + bvz * dz) - qcb
-            ok = ((tq >= _T_MIN) & (tq < _MISS)
+            ok = (ok_den & (tq >= _T_MIN) & (tq < _MISS)
                   & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
             return jnp.where(ok, tq, _MISS)
 
