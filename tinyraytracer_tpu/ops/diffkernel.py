@@ -135,6 +135,20 @@ def build_diff_static(scene: SceneArrays) -> DiffStatic:
     )
 
 
+def static_kind_flags(st: DiffStatic):
+    """(has_met, has_die) from the static structure: does any REAL
+    primitive use a Metal / Dielectric material? Lets the fused kernels
+    compile out the absent scatter chains and their adjoints — exactly
+    value-preserving, since the dropped terms are winner-gated selects
+    (never taken) and exact-zero cotangent products (see bounce_adj)."""
+    used = set()
+    for i in range(len(st.sph_rows)):
+        used.add(st.mat_kinds[st.mat_ids[i]])
+    for j in range(len(st.quad_rows)):
+        used.add(st.mat_kinds[st.mat_ids[st.ns + j]])
+    return (1 in used), (2 in used)
+
+
 def diff_tables(scene: SceneArrays, st: DiffStatic):
     """jit-safe device tables from (possibly traced) scene parameters."""
     ns, nq, na = st.ns, st.nq, st.ns + st.nq
@@ -205,7 +219,8 @@ def diff_tables(scene: SceneArrays, st: DiffStatic):
 
 
 def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
-                      nl: int, n_lights: int, nee: bool, sil: bool):
+                      nl: int, n_lights: int, nee: bool, sil: bool,
+                      has_met: bool = True, has_die: bool = True):
     """Kernel: NEE forward image + local MSE cotangent + unrolled adjoint.
 
     All per-ray values are (1, TR) f32 rows; per-sphere matrices are
@@ -520,42 +535,61 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             lamx = jnp.where(degen, nx_, lx)
             lamy = jnp.where(degen, ny_, ly)
             lamz = jnp.where(degen, nz_, lz)
-            # metal
-            sdn = dot3(dx, dy, dz, nx_, ny_, nz_)
-            rfx = dx - 2.0 * sdn * nx_
-            rfy = dy - 2.0 * sdn * ny_
-            rfz = dz - 2.0 * sdn * nz_
-            mex = rfx + wfuzz * bx
-            mey = rfy + wfuzz * by
-            mez = rfz + wfuzz * bz
-            # dielectric
-            eta = jnp.where(front, 1.0 / jnp.maximum(wior, 1e-6), wior)
-            mcos_raw = -(nx_ * dx + ny_ * dy + nz_ * dz)
-            cos_clip = mcos_raw < 1.0
-            cosv = jnp.minimum(mcos_raw, 1.0)
-            sinv = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosv * cosv))
-            tir = eta * sinv > 1.0
-            sr0 = (1.0 - eta) / (1.0 + eta)
-            r0 = sr0 * sr0
-            reflp = r0 + (1.0 - r0) * (1.0 - cosv) ** 5
-            cref = tir | (reflp > su4)
-            ppx = eta * (dx + nx_ * cosv)
-            ppy = eta * (dy + ny_ * cosv)
-            ppz = eta * (dz + nz_ * cosv)
-            plen2 = dot3(ppx, ppy, ppz, ppx, ppy, ppz)
-            zk = 1.0 - plen2
-            kk = jnp.maximum(jnp.abs(zk), 1e-12)
-            par = -jnp.sqrt(kk)
-            fx = ppx + par * nx_
-            fy = ppy + par * ny_
-            fz = ppz + par * nz_
-            dnx_die = jnp.where(cref, rfx, fx)
-            dny_die = jnp.where(cref, rfy, fy)
-            dnz_die = jnp.where(cref, rfz, fz)
+            # metal / dielectric chains: compiled out when the scene has
+            # no primitive of that kind (see static_kind_flags) — the
+            # dropped results are winner-gated selects that can never be
+            # taken, so every reachable lane is bit-identical
+            if has_met or has_die:
+                sdn = dot3(dx, dy, dz, nx_, ny_, nz_)
+                rfx = dx - 2.0 * sdn * nx_
+                rfy = dy - 2.0 * sdn * ny_
+                rfz = dz - 2.0 * sdn * nz_
+            if has_met:
+                mex = rfx + wfuzz * bx
+                mey = rfy + wfuzz * by
+                mez = rfz + wfuzz * bz
+            if has_die:
+                eta = jnp.where(front, 1.0 / jnp.maximum(wior, 1e-6), wior)
+                mcos_raw = -(nx_ * dx + ny_ * dy + nz_ * dz)
+                cos_clip = mcos_raw < 1.0
+                cosv = jnp.minimum(mcos_raw, 1.0)
+                sinv = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosv * cosv))
+                tir = eta * sinv > 1.0
+                sr0 = (1.0 - eta) / (1.0 + eta)
+                r0 = sr0 * sr0
+                reflp = r0 + (1.0 - r0) * (1.0 - cosv) ** 5
+                cref = tir | (reflp > su4)
+                ppx = eta * (dx + nx_ * cosv)
+                ppy = eta * (dy + ny_ * cosv)
+                ppz = eta * (dz + nz_ * cosv)
+                plen2 = dot3(ppx, ppy, ppz, ppx, ppy, ppz)
+                zk = 1.0 - plen2
+                kk = jnp.maximum(jnp.abs(zk), 1e-12)
+                par = -jnp.sqrt(kk)
+                fx = ppx + par * nx_
+                fy = ppy + par * ny_
+                fz = ppz + par * nz_
+                dnx_die = jnp.where(cref, rfx, fx)
+                dny_die = jnp.where(cref, rfy, fy)
+                dnz_die = jnp.where(cref, rfz, fz)
 
-            dnx = jnp.where(is_lam, lamx, jnp.where(is_met, mex, dnx_die))
-            dny = jnp.where(is_lam, lamy, jnp.where(is_met, mey, dny_die))
-            dnz = jnp.where(is_lam, lamz, jnp.where(is_met, mez, dnz_die))
+            if has_met and has_die:
+                dnx = jnp.where(is_lam, lamx,
+                                jnp.where(is_met, mex, dnx_die))
+                dny = jnp.where(is_lam, lamy,
+                                jnp.where(is_met, mey, dny_die))
+                dnz = jnp.where(is_lam, lamz,
+                                jnp.where(is_met, mez, dnz_die))
+            elif has_met:
+                dnx = jnp.where(is_lam, lamx, mex)
+                dny = jnp.where(is_lam, lamy, mey)
+                dnz = jnp.where(is_lam, lamz, mez)
+            elif has_die:
+                dnx = jnp.where(is_lam, lamx, dnx_die)
+                dny = jnp.where(is_lam, lamy, dny_die)
+                dnz = jnp.where(is_lam, lamz, dnz_die)
+            else:
+                dnx, dny, dnz = lamx, lamy, lamz
             invl = jax.lax.rsqrt(
                 jnp.maximum(dot3(dnx, dny, dnz, dnx, dny, dnz), 1e-24))
             sdx = dnx * invl
@@ -587,13 +621,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 nx_=nx_, ny_=ny_, nz_=nz_,
                 bx=bx, by=by, bz=bz, ux_=ux_, uy_=uy_, uz_=uz_,
                 degen=degen, lamx=lamx, lamy=lamy, lamz=lamz,
-                sdn=sdn, rfx=rfx, rfy=rfy, rfz=rfz,
-                eta=eta, cosv=cosv, cos_clip=cos_clip, cref=cref,
-                ppx=ppx, ppy=ppy, ppz=ppz, plen2=plen2, zk=zk, kk=kk,
-                par=par, fx=fx, fy=fy, fz=fz,
                 dnx=dnx, dny=dny, dnz=dnz, invl=invl,
                 sdx=sdx, sdy=sdy, sdz=sdz,
             )
+            if has_met or has_die:
+                g.update(sdn=sdn, rfx=rfx, rfy=rfy, rfz=rfz)
+            if has_die:
+                g.update(eta=eta, cosv=cosv, cos_clip=cos_clip, cref=cref,
+                         ppx=ppx, ppy=ppy, ppz=ppz, plen2=plen2, zk=zk,
+                         kk=kk, par=par, fx=fx, fy=fy, fz=fz)
             return g
 
         def advance(g, st):
@@ -821,65 +857,78 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             cdny = invl * (csdy - sdy * dot_c)
             cdnz = invl * (csdz - sdz * dot_c)
             lamf = g["is_lam"].astype(jnp.float32)
-            metf = g["is_met"].astype(jnp.float32)
-            dief = g["is_die"].astype(jnp.float32)
             cnx = lamf * cdnx
             cny = lamf * cdny
             cnz = lamf * cdnz
-            creflx = metf * cdnx
-            crefly = metf * cdny
-            creflz = metf * cdnz
-            cfuzz = metf * (g["bx"] * cdnx + g["by"] * cdny + g["bz"] * cdnz)
-            creff = g["cref"].astype(jnp.float32)
-            creflx = creflx + dief * creff * cdnx
-            crefly = crefly + dief * creff * cdny
-            creflz = creflz + dief * creff * cdnz
-            refr_f = dief * (1.0 - creff)
-            cfx = refr_f * cdnx
-            cfy = refr_f * cdny
-            cfz = refr_f * cdnz
-            cppx = cfx
-            cppy = cfy
-            cppz = cfz
-            cpar = nx_ * cfx + ny_ * cfy + nz_ * cfz
-            cnx = cnx + g["par"] * cfx
-            cny = cny + g["par"] * cfy
-            cnz = cnz + g["par"] * cfz
-            kk, zk = g["kk"], g["zk"]
-            live_k = (jnp.abs(zk) > 1e-12).astype(jnp.float32)
-            cpl = cpar * 0.5 * jnp.sign(zk) * live_k / jnp.sqrt(kk)
-            cppx = cppx + 2.0 * cpl * g["ppx"]
-            cppy = cppy + 2.0 * cpl * g["ppy"]
-            cppz = cppz + 2.0 * cpl * g["ppz"]
-            eta, cosv = g["eta"], g["cosv"]
-            ceta = ((dx + nx_ * cosv) * cppx + (dy + ny_ * cosv) * cppy
-                    + (dz + nz_ * cosv) * cppz)
-            cdx = cdx + eta * cppx
-            cdy = cdy + eta * cppy
-            cdz = cdz + eta * cppz
-            cnx = cnx + eta * cosv * cppx
-            cny = cny + eta * cosv * cppy
-            cnz = cnz + eta * cosv * cppz
-            ccos = eta * (nx_ * cppx + ny_ * cppy + nz_ * cppz)
-            clipf = g["cos_clip"].astype(jnp.float32)
-            cnd = -ccos * clipf
-            cnx = cnx + cnd * dx
-            cny = cny + cnd * dy
-            cnz = cnz + cnd * dz
-            cdx = cdx + cnd * nx_
-            cdy = cdy + cnd * ny_
-            cdz = cdz + cnd * nz_
-            frontf = g["front"].astype(jnp.float32)
-            iors = jnp.maximum(g["wior"], 1e-6)
-            cior = ceta * (frontf * (-1.0 / (iors * iors)) + (1.0 - frontf))
-            sdn = g["sdn"]
-            ndotcr = nx_ * creflx + ny_ * crefly + nz_ * creflz
-            cdx = cdx + creflx - 2.0 * ndotcr * nx_
-            cdy = cdy + crefly - 2.0 * ndotcr * ny_
-            cdz = cdz + creflz - 2.0 * ndotcr * nz_
-            cnx = cnx - 2.0 * sdn * creflx - 2.0 * ndotcr * dx
-            cny = cny - 2.0 * sdn * crefly - 2.0 * ndotcr * dy
-            cnz = cnz - 2.0 * sdn * creflz - 2.0 * ndotcr * dz
+            # metal / dielectric adjoints: compiled out with the forward
+            # chains (static_kind_flags). The dropped contributions are
+            # exact zeros on every reachable lane (metf/dief gate them),
+            # so skipping the additions is value-preserving.
+            zal = jnp.zeros_like(cdnx)
+            creflx = crefly = creflz = zal
+            cfuzz = zal
+            cior = zal
+            if has_met:
+                metf = g["is_met"].astype(jnp.float32)
+                creflx = metf * cdnx
+                crefly = metf * cdny
+                creflz = metf * cdnz
+                cfuzz = metf * (g["bx"] * cdnx + g["by"] * cdny
+                                + g["bz"] * cdnz)
+            if has_die:
+                dief = g["is_die"].astype(jnp.float32)
+                creff = g["cref"].astype(jnp.float32)
+                creflx = creflx + dief * creff * cdnx
+                crefly = crefly + dief * creff * cdny
+                creflz = creflz + dief * creff * cdnz
+                refr_f = dief * (1.0 - creff)
+                cfx = refr_f * cdnx
+                cfy = refr_f * cdny
+                cfz = refr_f * cdnz
+                cppx = cfx
+                cppy = cfy
+                cppz = cfz
+                cpar = nx_ * cfx + ny_ * cfy + nz_ * cfz
+                cnx = cnx + g["par"] * cfx
+                cny = cny + g["par"] * cfy
+                cnz = cnz + g["par"] * cfz
+                kk, zk = g["kk"], g["zk"]
+                live_k = (jnp.abs(zk) > 1e-12).astype(jnp.float32)
+                cpl = cpar * 0.5 * jnp.sign(zk) * live_k / jnp.sqrt(kk)
+                cppx = cppx + 2.0 * cpl * g["ppx"]
+                cppy = cppy + 2.0 * cpl * g["ppy"]
+                cppz = cppz + 2.0 * cpl * g["ppz"]
+                eta, cosv = g["eta"], g["cosv"]
+                ceta = ((dx + nx_ * cosv) * cppx + (dy + ny_ * cosv) * cppy
+                        + (dz + nz_ * cosv) * cppz)
+                cdx = cdx + eta * cppx
+                cdy = cdy + eta * cppy
+                cdz = cdz + eta * cppz
+                cnx = cnx + eta * cosv * cppx
+                cny = cny + eta * cosv * cppy
+                cnz = cnz + eta * cosv * cppz
+                ccos = eta * (nx_ * cppx + ny_ * cppy + nz_ * cppz)
+                clipf = g["cos_clip"].astype(jnp.float32)
+                cnd = -ccos * clipf
+                cnx = cnx + cnd * dx
+                cny = cny + cnd * dy
+                cnz = cnz + cnd * dz
+                cdx = cdx + cnd * nx_
+                cdy = cdy + cnd * ny_
+                cdz = cdz + cnd * nz_
+                frontf = g["front"].astype(jnp.float32)
+                iors = jnp.maximum(g["wior"], 1e-6)
+                cior = ceta * (frontf * (-1.0 / (iors * iors))
+                               + (1.0 - frontf))
+            if has_met or has_die:
+                sdn = g["sdn"]
+                ndotcr = nx_ * creflx + ny_ * crefly + nz_ * creflz
+                cdx = cdx + creflx - 2.0 * ndotcr * nx_
+                cdy = cdy + crefly - 2.0 * ndotcr * ny_
+                cdz = cdz + creflz - 2.0 * ndotcr * nz_
+                cnx = cnx - 2.0 * sdn * creflx - 2.0 * ndotcr * dx
+                cny = cny - 2.0 * sdn * crefly - 2.0 * ndotcr * dy
+                cnz = cnz - 2.0 * sdn * creflz - 2.0 * ndotcr * dz
 
             # ---- A4 NEE -----------------------------------------------
             zr = jnp.zeros_like(hlf)
@@ -1241,7 +1290,8 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
 
 def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
-               width, height, n_lights, nm, nee, sil, interpret):
+               width, height, n_lights, nm, nee, sil, interpret,
+               has_met=True, has_die=True):
     from tinyraytracer_tpu.ops.megakernel import _pixel_arrays
 
     npix = width * height
@@ -1251,7 +1301,7 @@ def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
     nq = tables["quad_c"].shape[0]
     nl = tables["light_pay"].shape[1]
     kernel = _make_diff_kernel(spp, max_bounces, ns, nq, nm, nl,
-                               n_lights, nee, sil)
+                               n_lights, nee, sil, has_met, has_die)
     tile = lambda i: (0, i)
     const = lambda i: (0, 0)
     outs = pl.pallas_call(
@@ -1366,11 +1416,12 @@ def render_value_and_grad(
     tgt_cols = jnp.take(tgt, pad_ids, axis=0).T          # (3, rp)
 
     tables = diff_tables(scene, st)
+    has_met, has_die = static_kind_flags(st)
     img_cols, dsph, dquad, dmat, dlight, dmisc = _diff_call(
         tables, cam_vec, ctl, tgt_cols,
         spp=spp, max_bounces=max_bounces, width=w, height=h,
         n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
-        interpret=interpret,
+        interpret=interpret, has_met=has_met, has_die=has_die,
     )
     img = img_cols[:, :npix].T.reshape(h, w, 3)
     # Loss comes out of the kernel (dmisc[0, 3]), not a post-kernel

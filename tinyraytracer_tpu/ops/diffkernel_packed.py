@@ -199,7 +199,8 @@ def _packed_diff_arrays(width: int, height: int, s: int, l: int,
 def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                              light_off: int, ns: int, nq: int, nm: int,
                              nl: int, n_lights: int, nee: bool, sil: bool,
-                             s_sub: int, l_lan: int):
+                             s_sub: int, l_lan: int,
+                             has_met: bool = True, has_die: bool = True):
     na = ns + nq
     nlf = float(n_lights)
     n_s = sum(1 for k, _, _ in prims if k == "s")
@@ -327,10 +328,17 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                                     ("wqvx", 6), ("wqvy", 7), ("wqvz", 8)):
                         f[name] = sel(f[name], go + k)
                     mo = off + _MAT_OFF_Q
-                for name, k in (("kind", 0), ("war", 1), ("wag", 2),
-                                ("wab", 3), ("wfuzz", 4), ("wior", 5),
-                                ("wer", 6), ("weg", 7), ("web", 8),
-                                ("wmat", 9)):
+                # fuzz/ior feed only the compiled-out scatter chains —
+                # skip their per-prim selects when the kind is absent
+                mat_fields = [("kind", 0), ("war", 1), ("wag", 2),
+                              ("wab", 3)]
+                if has_met:
+                    mat_fields.append(("wfuzz", 4))
+                if has_die:
+                    mat_fields.append(("wior", 5))
+                mat_fields += [("wer", 6), ("weg", 7), ("web", 8),
+                               ("wmat", 9)]
+                for name, k in mat_fields:
                     f[name] = sel(f[name], mo + k)
             return f
 
@@ -535,40 +543,60 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             lamx = jnp.where(degen, nx_, lx)
             lamy = jnp.where(degen, ny_, ly)
             lamz = jnp.where(degen, nz_, lz)
-            sdn = dot3(dx, dy, dz, nx_, ny_, nz_)
-            rfx = dx - 2.0 * sdn * nx_
-            rfy = dy - 2.0 * sdn * ny_
-            rfz = dz - 2.0 * sdn * nz_
-            mex = rfx + wfuzz * bx
-            mey = rfy + wfuzz * by
-            mez = rfz + wfuzz * bz
-            eta = jnp.where(front, 1.0 / jnp.maximum(wior, 1e-6), wior)
-            mcos_raw = -(nx_ * dx + ny_ * dy + nz_ * dz)
-            cos_clip = mcos_raw < 1.0
-            cosv = jnp.minimum(mcos_raw, 1.0)
-            sinv = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosv * cosv))
-            tir = eta * sinv > 1.0
-            sr0 = (1.0 - eta) / (1.0 + eta)
-            r0 = sr0 * sr0
-            reflp = r0 + (1.0 - r0) * (1.0 - cosv) ** 5
-            cref = tir | (reflp > su4)
-            ppx = eta * (dx + nx_ * cosv)
-            ppy = eta * (dy + ny_ * cosv)
-            ppz = eta * (dz + nz_ * cosv)
-            plen2 = dot3(ppx, ppy, ppz, ppx, ppy, ppz)
-            zk = 1.0 - plen2
-            kk = jnp.maximum(jnp.abs(zk), 1e-12)
-            par = -jnp.sqrt(kk)
-            fx = ppx + par * nx_
-            fy = ppy + par * ny_
-            fz = ppz + par * nz_
-            dnx_die = jnp.where(cref, rfx, fx)
-            dny_die = jnp.where(cref, rfy, fy)
-            dnz_die = jnp.where(cref, rfz, fz)
+            # metal / dielectric chains: compiled out when the scene has
+            # no primitive of that kind (diffkernel.static_kind_flags) —
+            # value-preserving, the dropped results are never selected
+            if has_met or has_die:
+                sdn = dot3(dx, dy, dz, nx_, ny_, nz_)
+                rfx = dx - 2.0 * sdn * nx_
+                rfy = dy - 2.0 * sdn * ny_
+                rfz = dz - 2.0 * sdn * nz_
+            if has_met:
+                mex = rfx + wfuzz * bx
+                mey = rfy + wfuzz * by
+                mez = rfz + wfuzz * bz
+            if has_die:
+                eta = jnp.where(front, 1.0 / jnp.maximum(wior, 1e-6), wior)
+                mcos_raw = -(nx_ * dx + ny_ * dy + nz_ * dz)
+                cos_clip = mcos_raw < 1.0
+                cosv = jnp.minimum(mcos_raw, 1.0)
+                sinv = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosv * cosv))
+                tir = eta * sinv > 1.0
+                sr0 = (1.0 - eta) / (1.0 + eta)
+                r0 = sr0 * sr0
+                reflp = r0 + (1.0 - r0) * (1.0 - cosv) ** 5
+                cref = tir | (reflp > su4)
+                ppx = eta * (dx + nx_ * cosv)
+                ppy = eta * (dy + ny_ * cosv)
+                ppz = eta * (dz + nz_ * cosv)
+                plen2 = dot3(ppx, ppy, ppz, ppx, ppy, ppz)
+                zk = 1.0 - plen2
+                kk = jnp.maximum(jnp.abs(zk), 1e-12)
+                par = -jnp.sqrt(kk)
+                fx = ppx + par * nx_
+                fy = ppy + par * ny_
+                fz = ppz + par * nz_
+                dnx_die = jnp.where(cref, rfx, fx)
+                dny_die = jnp.where(cref, rfy, fy)
+                dnz_die = jnp.where(cref, rfz, fz)
 
-            dnx = jnp.where(is_lam, lamx, jnp.where(is_met, mex, dnx_die))
-            dny = jnp.where(is_lam, lamy, jnp.where(is_met, mey, dny_die))
-            dnz = jnp.where(is_lam, lamz, jnp.where(is_met, mez, dnz_die))
+            if has_met and has_die:
+                dnx = jnp.where(is_lam, lamx,
+                                jnp.where(is_met, mex, dnx_die))
+                dny = jnp.where(is_lam, lamy,
+                                jnp.where(is_met, mey, dny_die))
+                dnz = jnp.where(is_lam, lamz,
+                                jnp.where(is_met, mez, dnz_die))
+            elif has_met:
+                dnx = jnp.where(is_lam, lamx, mex)
+                dny = jnp.where(is_lam, lamy, mey)
+                dnz = jnp.where(is_lam, lamz, mez)
+            elif has_die:
+                dnx = jnp.where(is_lam, lamx, dnx_die)
+                dny = jnp.where(is_lam, lamy, dny_die)
+                dnz = jnp.where(is_lam, lamz, dnz_die)
+            else:
+                dnx, dny, dnz = lamx, lamy, lamz
             invl = jax.lax.rsqrt(
                 jnp.maximum(dot3(dnx, dny, dnz, dnx, dny, dnz), 1e-24))
             sdx = dnx * invl
@@ -600,13 +628,15 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 nx_=nx_, ny_=ny_, nz_=nz_,
                 bx=bx, by=by, bz=bz, ux_=ux_, uy_=uy_, uz_=uz_,
                 degen=degen, lamx=lamx, lamy=lamy, lamz=lamz,
-                sdn=sdn, rfx=rfx, rfy=rfy, rfz=rfz,
-                eta=eta, cosv=cosv, cos_clip=cos_clip, cref=cref,
-                ppx=ppx, ppy=ppy, ppz=ppz, plen2=plen2, zk=zk, kk=kk,
-                par=par, fx=fx, fy=fy, fz=fz,
                 dnx=dnx, dny=dny, dnz=dnz, invl=invl,
                 sdx=sdx, sdy=sdy, sdz=sdz,
             )
+            if has_met or has_die:
+                g.update(sdn=sdn, rfx=rfx, rfy=rfy, rfz=rfz)
+            if has_die:
+                g.update(eta=eta, cosv=cosv, cos_clip=cos_clip, cref=cref,
+                         ppx=ppx, ppy=ppy, ppz=ppz, plen2=plen2, zk=zk,
+                         kk=kk, par=par, fx=fx, fy=fy, fz=fz)
             return g
 
         def advance(g, st):
@@ -855,67 +885,77 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             cdny = invl * (csdy - sdy * dot_c)
             cdnz = invl * (csdz - sdz * dot_c)
             lamf = g["is_lam"].astype(jnp.float32)
-            metf = g["is_met"].astype(jnp.float32)
-            dief = g["is_die"].astype(jnp.float32)
             cnx = lamf * cdnx
             cny = lamf * cdny
             cnz = lamf * cdnz
-            creflx = metf * cdnx
-            crefly = metf * cdny
-            creflz = metf * cdnz
-            cfuzz = metf * (g["bx"] * cdnx + g["by"] * cdny
-                            + g["bz"] * cdnz)
-            creff = g["cref"].astype(jnp.float32)
-            creflx = creflx + dief * creff * cdnx
-            crefly = crefly + dief * creff * cdny
-            creflz = creflz + dief * creff * cdnz
-            refr_f = dief * (1.0 - creff)
-            cfx = refr_f * cdnx
-            cfy = refr_f * cdny
-            cfz = refr_f * cdnz
-            cppx = cfx
-            cppy = cfy
-            cppz = cfz
-            cpar = nx_ * cfx + ny_ * cfy + nz_ * cfz
-            cnx = cnx + g["par"] * cfx
-            cny = cny + g["par"] * cfy
-            cnz = cnz + g["par"] * cfz
-            kk, zk = g["kk"], g["zk"]
-            live_k = (jnp.abs(zk) > 1e-12).astype(jnp.float32)
-            cpl = cpar * 0.5 * jnp.sign(zk) * live_k / jnp.sqrt(kk)
-            cppx = cppx + 2.0 * cpl * g["ppx"]
-            cppy = cppy + 2.0 * cpl * g["ppy"]
-            cppz = cppz + 2.0 * cpl * g["ppz"]
-            eta, cosv = g["eta"], g["cosv"]
-            ceta = ((dx + nx_ * cosv) * cppx + (dy + ny_ * cosv) * cppy
-                    + (dz + nz_ * cosv) * cppz)
-            cdx = cdx + eta * cppx
-            cdy = cdy + eta * cppy
-            cdz = cdz + eta * cppz
-            cnx = cnx + eta * cosv * cppx
-            cny = cny + eta * cosv * cppy
-            cnz = cnz + eta * cosv * cppz
-            ccos = eta * (nx_ * cppx + ny_ * cppy + nz_ * cppz)
-            clipf = g["cos_clip"].astype(jnp.float32)
-            cnd = -ccos * clipf
-            cnx = cnx + cnd * dx
-            cny = cny + cnd * dy
-            cnz = cnz + cnd * dz
-            cdx = cdx + cnd * nx_
-            cdy = cdy + cnd * ny_
-            cdz = cdz + cnd * nz_
-            frontf = g["front"].astype(jnp.float32)
-            iors = jnp.maximum(g["wior"], 1e-6)
-            cior = ceta * (frontf * (-1.0 / (iors * iors))
-                           + (1.0 - frontf))
-            sdn = g["sdn"]
-            ndotcr = nx_ * creflx + ny_ * crefly + nz_ * creflz
-            cdx = cdx + creflx - 2.0 * ndotcr * nx_
-            cdy = cdy + crefly - 2.0 * ndotcr * ny_
-            cdz = cdz + creflz - 2.0 * ndotcr * nz_
-            cnx = cnx - 2.0 * sdn * creflx - 2.0 * ndotcr * dx
-            cny = cny - 2.0 * sdn * crefly - 2.0 * ndotcr * dy
-            cnz = cnz - 2.0 * sdn * creflz - 2.0 * ndotcr * dz
+            # metal / dielectric adjoints: compiled out with the forward
+            # chains; the dropped contributions are exact zeros on every
+            # reachable lane (metf/dief gate them)
+            zal = jnp.zeros_like(cdnx)
+            creflx = crefly = creflz = zal
+            cfuzz = zal
+            cior = zal
+            if has_met:
+                metf = g["is_met"].astype(jnp.float32)
+                creflx = metf * cdnx
+                crefly = metf * cdny
+                creflz = metf * cdnz
+                cfuzz = metf * (g["bx"] * cdnx + g["by"] * cdny
+                                + g["bz"] * cdnz)
+            if has_die:
+                dief = g["is_die"].astype(jnp.float32)
+                creff = g["cref"].astype(jnp.float32)
+                creflx = creflx + dief * creff * cdnx
+                crefly = crefly + dief * creff * cdny
+                creflz = creflz + dief * creff * cdnz
+                refr_f = dief * (1.0 - creff)
+                cfx = refr_f * cdnx
+                cfy = refr_f * cdny
+                cfz = refr_f * cdnz
+                cppx = cfx
+                cppy = cfy
+                cppz = cfz
+                cpar = nx_ * cfx + ny_ * cfy + nz_ * cfz
+                cnx = cnx + g["par"] * cfx
+                cny = cny + g["par"] * cfy
+                cnz = cnz + g["par"] * cfz
+                kk, zk = g["kk"], g["zk"]
+                live_k = (jnp.abs(zk) > 1e-12).astype(jnp.float32)
+                cpl = cpar * 0.5 * jnp.sign(zk) * live_k / jnp.sqrt(kk)
+                cppx = cppx + 2.0 * cpl * g["ppx"]
+                cppy = cppy + 2.0 * cpl * g["ppy"]
+                cppz = cppz + 2.0 * cpl * g["ppz"]
+                eta, cosv = g["eta"], g["cosv"]
+                ceta = ((dx + nx_ * cosv) * cppx + (dy + ny_ * cosv) * cppy
+                        + (dz + nz_ * cosv) * cppz)
+                cdx = cdx + eta * cppx
+                cdy = cdy + eta * cppy
+                cdz = cdz + eta * cppz
+                cnx = cnx + eta * cosv * cppx
+                cny = cny + eta * cosv * cppy
+                cnz = cnz + eta * cosv * cppz
+                ccos = eta * (nx_ * cppx + ny_ * cppy + nz_ * cppz)
+                clipf = g["cos_clip"].astype(jnp.float32)
+                cnd = -ccos * clipf
+                cnx = cnx + cnd * dx
+                cny = cny + cnd * dy
+                cnz = cnz + cnd * dz
+                cdx = cdx + cnd * nx_
+                cdy = cdy + cnd * ny_
+                cdz = cdz + cnd * nz_
+                frontf = g["front"].astype(jnp.float32)
+                iors = jnp.maximum(g["wior"], 1e-6)
+                cior = ceta * (frontf * (-1.0 / (iors * iors))
+                               + (1.0 - frontf))
+            if has_met or has_die:
+                sdn = g["sdn"]
+                ndotcr = nx_ * creflx + ny_ * crefly + nz_ * creflz
+                cdx = cdx + creflx - 2.0 * ndotcr * nx_
+                cdy = cdy + crefly - 2.0 * ndotcr * ny_
+                cdz = cdz + creflz - 2.0 * ndotcr * nz_
+                cnx = cnx - 2.0 * sdn * creflx - 2.0 * ndotcr * dx
+                cny = cny - 2.0 * sdn * crefly - 2.0 * ndotcr * dy
+                cnz = cnz - 2.0 * sdn * creflz - 2.0 * ndotcr * dz
 
             # ---- A4 NEE -------------------------------------------
             sph_soft = [(jnp.zeros_like(hlf),) * 4 for _ in range(n_s)]
@@ -1341,9 +1381,11 @@ def render_value_and_grad_packed(
     ]
 
     ns, nq, nl, nm = st.ns, st.nq, st.nl, st.nm
+    from tinyraytracer_tpu.ops.diffkernel import static_kind_flags
+    has_met, has_die = static_kind_flags(st)
     kernel = _make_packed_diff_kernel(
         spp, max_bounces, prims, light_off, ns, nq, nm, nl,
-        st.n_lights, nee, silhouette, s, l)
+        st.n_lights, nee, silhouette, s, l, has_met, has_die)
     nw = tab.shape[1]
     tspec = lambda i: (0, i)
     const = lambda i: (0, 0)

@@ -169,7 +169,8 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
                   alive, best_t, hit,
                   w_isq, w_ax, w_ay, w_az, w_kind,
                   w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
-                  u1, u2, u3, u4, bg_r, bg_g, bg_b):
+                  u1, u2, u3, u4, bg_r, bg_g, bg_b,
+                  has_met=True, has_die=True):
     """One bounce's shading given the winner payload (cpu.rs:47-62).
 
     Shape-agnostic: every array argument shares one shape — (1, TR) in the
@@ -179,6 +180,16 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
     `w_isq > 0.5`, the sphere center otherwise (hittable/mod.rs:34-40 does
     the face flip here). `u1..u4` are this bounce's scatter uniforms.
     Returns the post-bounce (o, d, throughput, color, alive_f) state.
+
+    `has_met`/`has_die` are STATIC scene facts (does any valid primitive
+    use a Metal / Dielectric material?). When False, that kind's scatter
+    math is compiled out entirely. This is exactly value-preserving: the
+    skipped results are consumed only through `is_met`/`is_die` winner
+    selects, which can never be taken when no primitive carries that kind
+    — lanes whose winner is a Light keep whatever the remaining chain
+    yields, but their direction is discarded by the `scat` gate below.
+    Scenes like the Cornell box (lambertian + light only) drop the whole
+    reflect/refract/Schlick chain per bounce.
     """
     hit_live = alive & hit
     miss_live = alive & ~hit
@@ -229,44 +240,61 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
     ly = jnp.where(degen, ny_, ly)
     lz = jnp.where(degen, nz_, lz)
 
-    # Metal (metal.rs:18-25)
-    ddn = dx * nx_ + dy * ny_ + dz * nz_
-    rx = dx - 2.0 * ddn * nx_
-    ry = dy - 2.0 * ddn * ny_
-    rz = dz - 2.0 * ddn * nz_
-    mx = rx + w_fuzz * bx
-    my = ry + w_fuzz * by
-    mz = rz + w_fuzz * bz
+    if has_met or has_die:
+        # shared reflection (metal.rs:18-25 / dielectric reflect branch)
+        ddn = dx * nx_ + dy * ny_ + dz * nz_
+        rx = dx - 2.0 * ddn * nx_
+        ry = dy - 2.0 * ddn * ny_
+        rz = dz - 2.0 * ddn * nz_
+    if has_met:
+        # Metal fuzz (metal.rs:18-25)
+        mx = rx + w_fuzz * bx
+        my = ry + w_fuzz * by
+        mz = rz + w_fuzz * bz
+    if has_die:
+        # Dielectric (dielectric.rs:26-46)
+        eta = jnp.where(front, 1.0 / w_ior, w_ior)
+        cos = jnp.minimum(-(nx_ * dx + ny_ * dy + nz_ * dz), 1.0)
+        sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos * cos))
+        tir = eta * sin > 1.0
+        sr0 = (1.0 - eta) / (1.0 + eta)
+        r0 = sr0 * sr0
+        refl = r0 + (1.0 - r0) * (1.0 - cos) ** 5
+        choose_reflect = tir | (refl > u4)
+        # refract (vec3extend.rs:79-84)
+        px_ = eta * (dx + nx_ * cos)
+        py2 = eta * (dy + ny_ * cos)
+        pz_ = eta * (dz + nz_ * cos)
+        plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
+        # Same 1e-12 floor as ops/scatter.py refract: keeps the two
+        # paths bit-identical at grazing incidence.
+        par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen2), 1e-12))
+        fx = px_ + par * nx_
+        fy = py2 + par * ny_
+        fz = pz_ + par * nz_
+        gx = jnp.where(choose_reflect, rx, fx)
+        gy = jnp.where(choose_reflect, ry, fy)
+        gz = jnp.where(choose_reflect, rz, fz)
 
-    # Dielectric (dielectric.rs:26-46)
-    eta = jnp.where(front, 1.0 / w_ior, w_ior)
-    cos = jnp.minimum(-(nx_ * dx + ny_ * dy + nz_ * dz), 1.0)
-    sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos * cos))
-    tir = eta * sin > 1.0
-    sr0 = (1.0 - eta) / (1.0 + eta)
-    r0 = sr0 * sr0
-    refl = r0 + (1.0 - r0) * (1.0 - cos) ** 5
-    choose_reflect = tir | (refl > u4)
-    # refract (vec3extend.rs:79-84)
-    px_ = eta * (dx + nx_ * cos)
-    py2 = eta * (dy + ny_ * cos)
-    pz_ = eta * (dz + nz_ * cos)
-    plen2 = px_ * px_ + py2 * py2 + pz_ * pz_
-    # Same 1e-12 floor as ops/scatter.py refract: keeps the two
-    # paths bit-identical at grazing incidence.
-    par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - plen2), 1e-12))
-    fx = px_ + par * nx_
-    fy = py2 + par * ny_
-    fz = pz_ + par * nz_
-    gx = jnp.where(choose_reflect, rx, fx)
-    gy = jnp.where(choose_reflect, ry, fy)
-    gz = jnp.where(choose_reflect, rz, fz)
-
+    # winner-kind select over whichever kinds exist in the scene; an
+    # absent kind's branch can never win, so dropping it from the chain
+    # is value-identical on every reachable lane
     is_lam = w_kind < 0.5
-    is_met = (w_kind >= 0.5) & (w_kind < 1.5)
-    sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
-    sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
-    sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
+    if has_met and has_die:
+        is_met = (w_kind >= 0.5) & (w_kind < 1.5)
+        sx = jnp.where(is_lam, lx, jnp.where(is_met, mx, gx))
+        sy = jnp.where(is_lam, ly, jnp.where(is_met, my, gy))
+        sz = jnp.where(is_lam, lz, jnp.where(is_met, mz, gz))
+    elif has_met:
+        sx = jnp.where(is_lam, lx, mx)
+        sy = jnp.where(is_lam, ly, my)
+        sz = jnp.where(is_lam, lz, mz)
+    elif has_die:
+        sx = jnp.where(is_lam, lx, gx)
+        sy = jnp.where(is_lam, ly, gy)
+        sz = jnp.where(is_lam, lz, gz)
+    else:
+        sx, sy, sz = lx, ly, lz
     sx, sy, sz = _normalize3(sx, sy, sz)
 
     absorbed = w_kind >= 2.5          # LIGHT = 3
@@ -378,12 +406,14 @@ def _regen_sample_loop(px, spp, max_bounces, spp_offset,
 
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
-                 n_clusters: int = 0, regen: bool = False):
+                 n_clusters: int = 0, regen: bool = False,
+                 has_met: bool = True, has_die: bool = True):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
     the Cornell box (quads only) skips all sphere arithmetic, random-sphere
-    scenes skip the quad block.
+    scenes skip the quad block. `has_met`/`has_die` do the same for the
+    material scatter chains (see _shade_bounce).
 
     `early_exit` makes each spp round's bounce fori skip its remaining
     iterations once every lane in the tile is dead. In *open* scenes (sky
@@ -669,7 +699,8 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                     alive, best_t, hit,
                     w_isq, w_ax, w_ay, w_az, w_kind,
                     w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
-                    u1, u2, u3, u4, bg_r, bg_g, bg_b)
+                    u1, u2, u3, u4, bg_r, bg_g, bg_b,
+                    has_met=has_met, has_die=has_die)
 
         zeros = lambda: jnp.zeros((1, tr), jnp.float32)
         ones = lambda: jnp.ones((1, tr), jnp.float32)
@@ -736,6 +767,25 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         out_ref[2:3, :] = ab * inv
 
     return kernel
+
+
+def used_kind_flags(scene: SceneArrays) -> tuple:
+    """(has_met, has_die): does any VALID primitive use a Metal /
+    Dielectric material? Static scene facts that let every kernel compile
+    out the absent scatter chains (see _shade_bounce) — a material merely
+    registered but unused by live geometry doesn't count."""
+    from tinyraytracer_tpu.models import materials as mat
+
+    kinds = np.asarray(scene.mat_kind)
+    used = []
+    sv = np.asarray(scene.sph_valid)
+    qv = np.asarray(scene.quad_valid)
+    if sv.any():
+        used.append(kinds[np.asarray(scene.sph_mat)[sv]])
+    if qv.any():
+        used.append(kinds[np.asarray(scene.quad_mat)[qv]])
+    uk = np.concatenate(used) if used else np.zeros((0,), kinds.dtype)
+    return bool((uk == mat.METAL).any()), bool((uk == mat.DIELECTRIC).any())
 
 
 def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
@@ -812,14 +862,14 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
 def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                 spp, max_bounces, has_sph, has_quad, interpret,
                 early_exit=False, clusters=None, tile_rays=None,
-                regen=False):
+                regen=False, has_met=True, has_die=True):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
     tr = tile_rays or TILE_RAYS
     rp = pid.shape[1]
     g = rp // tr
     n_clusters = clusters[0].shape[0] if clusters is not None else 0
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
-                          early_exit, n_clusters, regen)
+                          early_exit, n_clusters, regen, has_met, has_die)
     tile = lambda i: (0, i)
     n_scene = 9 + (2 if clusters is not None else 0)
     operands = [
@@ -906,7 +956,8 @@ def _block_pixel_arrays(width: int, height: int, tile_rays: int):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "early_exit", "tile_rays", "regen"),
+                     "early_exit", "tile_rays", "regen",
+                     "has_met", "has_die"),
 )
 def _render_flat(
     cs: CompactScene,
@@ -923,6 +974,8 @@ def _render_flat(
     clusters=None,
     tile_rays: int = 0,
     regen: bool = False,
+    has_met: bool = True,
+    has_die: bool = True,
 ):
     tr = tile_rays or TILE_RAYS
     npix = width * height
@@ -935,21 +988,23 @@ def _render_flat(
                             jnp.asarray(pid), jnp.asarray(px),
                             jnp.asarray(py),
                             spp, max_bounces, has_sph, has_quad, interpret,
-                            early_exit, clusters, tr, regen)
+                            early_exit, clusters, tr, regen,
+                            has_met, has_die)
         return jnp.take(color, jnp.asarray(inv),
                         axis=1).T.reshape(height, width, 3)
     rp = ((npix + tr - 1) // tr) * tr
     pid, px, py = _pixel_arrays(width, height, rp)
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                         spp, max_bounces, has_sph, has_quad, interpret,
-                        early_exit, clusters, tr, regen)
+                        early_exit, clusters, tr, regen, has_met, has_die)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
-                     "mesh", "early_exit", "tile_rays", "regen"),
+                     "mesh", "early_exit", "tile_rays", "regen",
+                     "has_met", "has_die"),
 )
 def _render_flat_sharded(
     cs: CompactScene,
@@ -967,6 +1022,8 @@ def _render_flat_sharded(
     clusters=None,
     tile_rays: int = 0,
     regen: bool = False,
+    has_met: bool = True,
+    has_die: bool = True,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
@@ -993,7 +1050,8 @@ def _render_flat_sharded(
         ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
-                            interpret, early_exit, clusters, tr, regen)
+                            interpret, early_exit, clusters, tr, regen,
+                            has_met, has_die)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
@@ -1037,6 +1095,7 @@ class MegakernelRenderer:
             self.cs = compact_scene(scene)
             self.clusters = None
         self.pay = _payload_matrix(scene, self.cs)
+        self.has_met, self.has_die = used_kind_flags(scene)
         self.cam_vec = _camera_vector(camera, background)
         self.interpret = interpret
         self._packed = None    # lazy (SMEM table, prims) for the packed path
@@ -1075,7 +1134,8 @@ class MegakernelRenderer:
                 spp=spp, max_bounces=max_bounces,
                 width=self.camera.width, height=self.camera.height,
                 prims=prims, s=mkp.PACKED_SUBLANES, l=mkp.PACKED_LANES,
-                interpret=self.interpret)
+                interpret=self.interpret,
+                has_met=self.has_met, has_die=self.has_die)
         if regen is None:
             # Sample regeneration is the default everywhere: each lane pays
             # ~ spp x mean path length instead of spp x (tile max path), a
@@ -1114,6 +1174,8 @@ class MegakernelRenderer:
                 clusters=self.clusters,
                 tile_rays=tile_rays,
                 regen=regen,
+                has_met=self.has_met,
+                has_die=self.has_die,
             )
         return _render_flat(
             self.cs,
@@ -1129,6 +1191,8 @@ class MegakernelRenderer:
             clusters=self.clusters,
             tile_rays=tile_rays,
             regen=regen,
+            has_met=self.has_met,
+            has_die=self.has_die,
         )
 
 

@@ -114,7 +114,8 @@ def scene_table(cs: CompactScene, pay) -> tuple[jnp.ndarray, tuple]:
     return jnp.asarray(tab), tuple(prims)
 
 
-def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple):
+def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
+                        has_met: bool = True, has_die: bool = True):
     """Regeneration main loop on (S, L) state (see megakernel regen docs:
     each lane owns its own (sample, bounce) cursor and pays ~ spp x mean
     path length)."""
@@ -217,8 +218,12 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple):
                 w_ar = jnp.where(w, tb(moff + 1), w_ar)
                 w_ag = jnp.where(w, tb(moff + 2), w_ag)
                 w_ab = jnp.where(w, tb(moff + 3), w_ab)
-                w_fuzz = jnp.where(w, tb(moff + 4), w_fuzz)
-                w_ior = jnp.where(w, tb(moff + 5), w_ior)
+                # fuzz/ior feed only the compiled-out scatter chains —
+                # skip their per-prim selects when the kind is absent
+                if has_met:
+                    w_fuzz = jnp.where(w, tb(moff + 4), w_fuzz)
+                if has_die:
+                    w_ior = jnp.where(w, tb(moff + 5), w_ior)
                 w_er = jnp.where(w, tb(moff + 6), w_er)
                 w_eg = jnp.where(w, tb(moff + 7), w_eg)
                 w_eb = jnp.where(w, tb(moff + 8), w_eb)
@@ -256,7 +261,8 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple):
                 ox, oy, oz, dx, dy, dz,
                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
                 alive, best_t, hit, *w,
-                u1, u2, u3, u4, bg_r, bg_g, bg_b)
+                u1, u2, u3, u4, bg_r, bg_g, bg_b,
+                has_met=has_met, has_die=has_die)
 
         # Per-lane persistent-path sample loop, shared op for op with the
         # classic kernel (megakernel._regen_sample_loop) — one source for
@@ -307,7 +313,7 @@ def _packed_pixel_arrays(width: int, height: int, s: int, l: int):
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "prims",
-                     "s", "l", "interpret"),
+                     "s", "l", "interpret", "has_met", "has_die"),
 )
 def _render_packed(
     tab,
@@ -322,10 +328,12 @@ def _render_packed(
     s: int,
     l: int,
     interpret: bool = False,
+    has_met: bool = True,
+    has_die: bool = True,
 ):
     pid, px, py, inv, g = _packed_pixel_arrays(width, height, s, l)
     nw = tab.shape[1]
-    kernel = _make_packed_kernel(spp, max_bounces, prims)
+    kernel = _make_packed_kernel(spp, max_bounces, prims, has_met, has_die)
     tile = lambda i: (0, i)
     outs = pl.pallas_call(
         kernel,
