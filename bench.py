@@ -105,7 +105,9 @@ def main() -> None:
     for i in range(5):
         t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, i + 1)
-        jax.block_until_ready((params, opt_state, loss))
+        float(loss)   # forced host read: a true sync point (axon's
+        # block_until_ready was observed returning before the dispatch
+        # completed, yielding bogus sub-ms timings)
         times.append(time.perf_counter() - t0)
     bwd_dt = min(times)
     result["fwdbwd_rays_per_sec"] = round(bw * bh * bspp / bwd_dt, 1)
@@ -129,6 +131,32 @@ def main() -> None:
     # tests/test_diff.py and examples/inverse_render.py).
     result["cfg5_inverse_render_fwdbwd_rays_per_sec"] = result[
         "fwdbwd_rays_per_sec"]
+
+    # --- fwd+bwd at the EXACT north-star config --------------------------
+    # BASELINE.md: "rays/sec/chip (forward, forward+backward) at Cornell
+    # 600x600 spp=200". Same scene/size/spp as the forward headline,
+    # mb=20 (the reference binary's default, src/main.rs:17). One step is
+    # ~1.4G fixed-budget path segments, so warm once and time 2 steps.
+    nw_, nh_, nspp, nmb = 600, 600, 200, 20
+    world3, camera3, kw3 = presets.cornell_box(width=nw_, height=nh_)
+    scene3 = world3.build()
+    target3 = jnp.zeros((nh_, nw_, 3), jnp.float32)
+    step3, (p3, o3) = make_fused_train_step(
+        scene3, camera3, target3, spp=nspp, max_bounces=nmb,
+        background=kw3["background"], seed=0,
+    )
+    p3, o3, _ = step3(p3, o3, 0)
+    jax.block_until_ready((p3, o3))
+    times3 = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        p3, o3, loss3 = step3(p3, o3, i + 1)
+        float(loss3)  # forced host read (see fwd+bwd loop above)
+        times3.append(time.perf_counter() - t0)
+    ns_dt = min(times3)
+    result["fwdbwd_northstar_cornell600_spp200_mb20"] = round(
+        nw_ * nh_ * nspp / ns_dt, 1)
+    result["fwdbwd_northstar_step_s"] = round(ns_dt, 3)
 
     result.update(
         metric="fwd_camera_rays_per_sec_per_chip_cornell600_spp200",

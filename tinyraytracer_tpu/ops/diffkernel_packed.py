@@ -297,10 +297,14 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             # (S, L) -> (1, S*L): the reshape direction Mosaic lowers
             return a.reshape(1, sl)
 
-        def winner_fields(rowf, hit):
+        def winner_fields(rowf, hit, lite=False):
             """Winner payload via an unrolled per-prim equality chain
             (the classic kernel's one-hot MXU gather; the (1, S*L) ->
-            (S, L) unpack that gather would need does not lower)."""
+            (S, L) unpack that gather would need does not lower).
+
+            lite: replay mode (see shade) — the emission/material-row
+            fields (wer/weg/web/wmat) are never read by the replay, so
+            their per-prim selects are skipped."""
             rowi = rowf.astype(jnp.int32)
             z = jnp.zeros_like(rowf)
             f = dict(isq=z, wcx=z, wcy=z, wcz=z, wrad=z, kind=z,
@@ -336,8 +340,9 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                     mat_fields.append(("wfuzz", 4))
                 if has_die:
                     mat_fields.append(("wior", 5))
-                mat_fields += [("wer", 6), ("weg", 7), ("web", 8),
-                               ("wmat", 9)]
+                if not lite:
+                    mat_fields += [("wer", 6), ("weg", 7), ("web", 8),
+                                   ("wmat", 9)]
                 for name, k in mat_fields:
                     f[name] = sel(f[name], mo + k)
             return f
@@ -371,11 +376,18 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         # formulas as the classic kernel's shade, on (S, L); winner
         # payload gathered via one-hot MXU + lane unpack.
         # ---------------------------------------------------------------
-        def shade(sample_id, b_u32, st, best_t, rowf):
+        def shade(sample_id, b_u32, st, best_t, rowf, lite=False):
+            """lite: phase-3 replay mode. The replay only advances state
+            (advance: p, sd, throughput, alive, pd) and traces the shadow
+            ray (shadow_vis: p, wl, dist) — emission gating, the NEE
+            geometry factor, and the material-row fields are color- or
+            adjoint-only, and bounce_adj always recomputes with
+            lite=False — so those ops are skipped. Everything the replay
+            DOES compute is op-identical to the full shade."""
             (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f, pd_f) = st
             g = {}
             hit = best_t < _MISS
-            wf = winner_fields(rowf, hit)
+            wf = winner_fields(rowf, hit, lite)
             isq = wf["isq"]
             wcx, wcy, wcz = wf["wcx"], wf["wcy"], wf["wcz"]
             kind = wf["kind"]
@@ -447,7 +459,9 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             is_die = (kind >= 1.5) & (kind < 2.5)
             is_light = kind >= 2.5
 
-            if nee:
+            if lite:
+                gate_e = None     # color is not accumulated in the replay
+            elif nee:
                 nee_sampled = quad_w & is_light
                 gate_e = hlf * (1.0 - pd_f * nee_sampled.astype(jnp.float32))
             else:
@@ -476,9 +490,10 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                     lvx = lvx + m * tb(lo + 6)
                     lvy = lvy + m * tb(lo + 7)
                     lvz = lvz + m * tb(lo + 8)
-                    ler = ler + m * tb(lo + 9)
-                    leg = leg + m * tb(lo + 10)
-                    leb = leb + m * tb(lo + 11)
+                    if not lite:     # emission feeds color/adjoint only
+                        ler = ler + m * tb(lo + 9)
+                        leg = leg + m * tb(lo + 10)
+                        leb = leb + m * tb(lo + 11)
                 yx = lcx + nu1 * lux + nu2 * lvx
                 yy = lcy + nu1 * luy + nu2 * lvy
                 yz = lcz + nu1 * luz + nu2 * lvz
@@ -492,21 +507,28 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 wlx = tlx * idist
                 wly = tly * idist
                 wlz = tlz * idist
-                lnx, lny, lnz = cross3(lux, luy, luz, lvx, lvy, lvz)
-                area = jnp.sqrt(jnp.maximum(
-                    dot3(lnx, lny, lnz, lnx, lny, lnz), 1e-24))
-                ainv = 1.0 / area
-                lnux = lnx * ainv
-                lnuy = lny * ainv
-                lnuz = lnz * ainv
-                cosx = dot3(nx_, ny_, nz_, wlx, wly, wlz)
-                cy_raw = dot3(lnux, lnuy, lnuz, wlx, wly, wlz)
-                cosy = jnp.abs(cy_raw)
-                graw = cosx * cosy * area * nlf / r2g
-                geom = jnp.minimum(graw, 16.0 * jnp.pi)
-                activef = (hit_live & is_lam & (cosx > 0.0)).astype(
-                    jnp.float32)
-                g.update(nee_vals=dict(
+                if lite:
+                    # shadow_vis consumes only (wl, dist); the geometry
+                    # factor below is color/adjoint-only
+                    g.update(nee_vals=dict(
+                        wlx=wlx, wly=wly, wlz=wlz, dist=dist))
+                    lnx = None     # sentinel: tail skipped
+                if not lite:
+                    lnx, lny, lnz = cross3(lux, luy, luz, lvx, lvy, lvz)
+                    area = jnp.sqrt(jnp.maximum(
+                        dot3(lnx, lny, lnz, lnx, lny, lnz), 1e-24))
+                    ainv = 1.0 / area
+                    lnux = lnx * ainv
+                    lnuy = lny * ainv
+                    lnuz = lnz * ainv
+                    cosx = dot3(nx_, ny_, nz_, wlx, wly, wlz)
+                    cy_raw = dot3(lnux, lnuy, lnuz, wlx, wly, wlz)
+                    cosy = jnp.abs(cy_raw)
+                    graw = cosx * cosy * area * nlf / r2g
+                    geom = jnp.minimum(graw, 16.0 * jnp.pi)
+                    activef = (hit_live & is_lam & (cosx > 0.0)).astype(
+                        jnp.float32)
+                    g.update(nee_vals=dict(
                     nu1=nu1, nu2=nu2, kpick=kpick,
                     lcx=lcx, lcy=lcy, lcz=lcz, lux=lux, luy=luy, luz=luz,
                     lvx=lvx, lvy=lvy, lvz=lvz, ler=ler, leg=leg, leb=leb,
@@ -1252,7 +1274,8 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             for b in range(mb):                  # python-unrolled
                 best_t, rowf, _hit = closest_hit(
                     st[0], st[1], st[2], st[3], st[4], st[5], True)
-                g = shade(sample_id, jnp.uint32(b), st, best_t, rowf)
+                g = shade(sample_id, jnp.uint32(b), st, best_t, rowf,
+                          lite=True)
                 vis = shadow_vis(g)
                 saves.append((st, best_t, rowf, vis))
                 st = advance(g, st)
