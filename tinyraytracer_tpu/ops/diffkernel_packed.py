@@ -84,6 +84,14 @@ DIFF_LANES = int(_os.environ.get("TINYRT_DIFF_LANES", "512"))
 DIFF_PACKED_MAX_PRIMS = int(
     _os.environ.get("TINYRT_DIFF_PACKED_MAX_PRIMS", "48"))
 
+# VMEM budget for the phase-1 intersection cache (winner t / winner row /
+# shadow vis per (sample, bounce)): 3 * spp * mb * S * L * 4 bytes. When
+# it fits, the phase-3 replay skips its closest-hit and shadow re-traces
+# (~30% of a replay bounce); when it doesn't (e.g. spp=200 mb=20), the
+# replay recomputes as before.
+DIFF_ISECT_CACHE_BYTES = int(
+    _os.environ.get("TINYRT_DIFF_ISECT_CACHE_BYTES", str(48 * 1024 * 1024)))
+
 # Per-prim SMEM blocks. Geometry intersection fields first, then the
 # differentiable raw fields and the material block the winner-field
 # select chain reads.
@@ -200,7 +208,8 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                              light_off: int, ns: int, nq: int, nm: int,
                              nl: int, n_lights: int, nee: bool, sil: bool,
                              s_sub: int, l_lan: int,
-                             has_met: bool = True, has_die: bool = True):
+                             has_met: bool = True, has_die: bool = True,
+                             cache_isect: bool = False):
     na = ns + nq
     nlf = float(n_lights)
     n_s = sum(1 for k, _, _ in prims if k == "s")
@@ -215,7 +224,16 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
     def kernel(cam_ref, ctl_ref, tab_ref, pid_ref, px_ref, py_ref,
                wgt_ref, tgr_ref, tgg_ref, tgb_ref,
                imr_ref, img_ref_g, imb_ref,
-               dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref):
+               dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref,
+               *isect_scratch):
+        # cache_isect: (spp*mb, S, L) VMEM scratches holding phase 1's
+        # per-(sample, bounce) winner t / winner row / shadow visibility,
+        # so the phase-3 replay skips its closest-hit AND shadow re-trace
+        # (the two re-traces are ~30% of a bounce's ops). Values are
+        # bit-identical by construction: the replay runs the exact same
+        # deterministic sequence phase 1 ran.
+        if cache_isect:
+            ct_ref, cr_ref, cv_ref = isect_scratch
         pid = pid_ref[...]
         px = px_ref[...]
         py = py_ref[...]
@@ -376,14 +394,20 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         # formulas as the classic kernel's shade, on (S, L); winner
         # payload gathered via one-hot MXU + lane unpack.
         # ---------------------------------------------------------------
-        def shade(sample_id, b_u32, st, best_t, rowf, lite=False):
+        def shade(sample_id, b_u32, st, best_t, rowf, lite=False,
+                  need_nee=True):
             """lite: phase-3 replay mode. The replay only advances state
             (advance: p, sd, throughput, alive, pd) and traces the shadow
             ray (shadow_vis: p, wl, dist) — emission gating, the NEE
             geometry factor, and the material-row fields are color- or
             adjoint-only, and bounce_adj always recomputes with
             lite=False — so those ops are skipped. Everything the replay
-            DOES compute is op-identical to the full shade."""
+            DOES compute is op-identical to the full shade.
+
+            need_nee=False (cache_isect replay): the shadow visibility is
+            read back from phase 1's scratch, so even the shadow-ray
+            geometry (light sample point, direction, distance) is
+            skipped."""
             (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f, pd_f) = st
             g = {}
             hit = best_t < _MISS
@@ -467,7 +491,7 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             else:
                 gate_e = hlf
 
-            if nee and n_lights > 0:
+            if nee and n_lights > 0 and need_nee:
                 nu1, nu2, nu3, _ = _uniform4(
                     pid, sample_id, jnp.uint32(0x40000000) + b_u32, seed
                 )
@@ -1232,6 +1256,11 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 g = shade(sample_id, b.astype(jnp.uint32), st, best_t,
                           rowf)
                 vis = shadow_vis(g)
+                if cache_isect:
+                    idx = s * mb + b
+                    ct_ref[idx] = best_t
+                    cr_ref[idx] = rowf
+                    cv_ref[idx] = vis
                 dcr, dcg, dcb = color_adds(g, st, vis)
                 st2 = advance(g, st)
                 return st2 + (col[0] + dcr, col[1] + dcg, col[2] + dcb)
@@ -1272,11 +1301,19 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                   zeros_)
             saves = []
             for b in range(mb):                  # python-unrolled
-                best_t, rowf, _hit = closest_hit(
-                    st[0], st[1], st[2], st[3], st[4], st[5], True)
-                g = shade(sample_id, jnp.uint32(b), st, best_t, rowf,
-                          lite=True)
-                vis = shadow_vis(g)
+                if cache_isect:
+                    idx = s * mb + b
+                    best_t = ct_ref[idx]
+                    rowf = cr_ref[idx]
+                    vis = cv_ref[idx]
+                    g = shade(sample_id, jnp.uint32(b), st, best_t, rowf,
+                              lite=True, need_nee=False)
+                else:
+                    best_t, rowf, _hit = closest_hit(
+                        st[0], st[1], st[2], st[3], st[4], st[5], True)
+                    g = shade(sample_id, jnp.uint32(b), st, best_t, rowf,
+                              lite=True)
+                    vis = shadow_vis(g)
                 saves.append((st, best_t, rowf, vis))
                 st = advance(g, st)
             co = (zeros_,) * 9
@@ -1406,9 +1443,11 @@ def render_value_and_grad_packed(
     ns, nq, nl, nm = st.ns, st.nq, st.nl, st.nm
     from tinyraytracer_tpu.ops.diffkernel import static_kind_flags
     has_met, has_die = static_kind_flags(st)
+    cache_isect = (3 * spp * max_bounces * s * l * 4
+                   <= DIFF_ISECT_CACHE_BYTES)
     kernel = _make_packed_diff_kernel(
         spp, max_bounces, prims, light_off, ns, nq, nm, nl,
-        st.n_lights, nee, silhouette, s, l, has_met, has_die)
+        st.n_lights, nee, silhouette, s, l, has_met, has_die, cache_isect)
     nw = tab.shape[1]
     tspec = lambda i: (0, i)
     const = lambda i: (0, 0)
@@ -1444,6 +1483,9 @@ def render_value_and_grad_packed(
                 jax.ShapeDtypeStruct((nl, 16), jnp.float32),
                 jax.ShapeDtypeStruct((8, 128), jnp.float32),
             ],
+            scratch_shapes=(
+                [pltpu.VMEM((spp * max_bounces, s, l), jnp.float32)] * 3
+                if cache_isect else []),
             compiler_params=pltpu.CompilerParams(
                 # the reverse sweep's bounce saves + live shade dict
                 # exceed the default scoped-VMEM budget at >=8192 rays
