@@ -220,3 +220,45 @@ def test_packed_matches_classic(scene_name):
         scale = max(np.abs(a).max(), 1e-8)
         assert np.abs(a - b).max() <= 1e-4 * scale, (
             k, np.abs(a - b).max(), scale)
+
+
+def test_diff_specialization_and_isect_cache_value_preserving(monkeypatch):
+    """The fused kernels' material-kind compile-out and the phase-1
+    intersection cache must not move the loss, image, or any gradient:
+    compare the auto-specialized cached run against (a) flags forced to
+    full chains and (b) the cache disabled."""
+    from tinyraytracer_tpu.ops import diffkernel as dk
+    from tinyraytracer_tpu.ops import diffkernel_packed as dkp
+    from tinyraytracer_tpu.ops.diffkernel_packed import (
+        render_value_and_grad_packed,
+    )
+
+    world, cam, kw = presets.cornell_spheres(width=16, height=16)
+    scene, bg = world.build(), kw["background"]
+    rng = np.random.RandomState(1)
+    target = rng.rand(cam.height, cam.width, 3).astype(np.float32) * 0.5
+    kws = dict(spp=2, max_bounces=3, background=bg, seed=3,
+               interpret=True, tile=(8, 128))
+    base = render_value_and_grad_packed(scene, cam, target, **kws)
+
+    monkeypatch.setattr(dk, "static_kind_flags", lambda st: (True, True))
+    full = render_value_and_grad_packed(scene, cam, target, **kws)
+    monkeypatch.undo()
+
+    monkeypatch.setattr(dkp, "DIFF_ISECT_CACHE_BYTES", 0)
+    nocache = render_value_and_grad_packed(scene, cam, target, **kws)
+
+    for other in (full, nocache):
+        # loss and image are bitwise-identical; the gradient TABLES may
+        # differ by compiler reassociation (different program variants let
+        # XLA tile the one-hot reductions differently) — the math itself
+        # contributes exact zeros for the compiled-out terms.
+        assert float(base[0]) == float(other[0])
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(other[1]))
+        for k in base[2]:
+            a = np.asarray(base[2][k])
+            b = np.asarray(other[2][k])
+            scale = max(np.abs(a).max(), 1e-8)
+            assert np.abs(a - b).max() <= 1e-5 * scale, (
+                k, np.abs(a - b).max(), scale)

@@ -138,3 +138,25 @@ def test_megakernel_spp_offset_partitions_samples():
     np.testing.assert_allclose(
         np.asarray((a + b) / 2.0), np.asarray(full), atol=1e-6
     )
+
+
+def test_material_specialization_bit_identical():
+    """Compiling out absent material kinds (has_met/has_die) must be
+    exactly value-preserving: a lambertian+light scene (flags auto-derived
+    False) renders bit-identically to the same kernel forced to keep the
+    full metal+dielectric chains."""
+    world, camera, kw = presets.cornell_box(width=16, height=16)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"],
+                              interpret=True)
+    assert (r.has_met, r.has_die) == (False, False)
+    spec_packed = r.render(spp=2, max_bounces=3, seed=7, packed=True)
+    spec_classic = r.render(spp=2, max_bounces=3, seed=7, regen=True)
+    r.has_met = r.has_die = True
+    r._packed = None
+    full_packed = r.render(spp=2, max_bounces=3, seed=7, packed=True)
+    full_classic = r.render(spp=2, max_bounces=3, seed=7, regen=True)
+    np.testing.assert_array_equal(np.asarray(spec_packed),
+                                  np.asarray(full_packed))
+    np.testing.assert_array_equal(np.asarray(spec_classic),
+                                  np.asarray(full_classic))
