@@ -1243,6 +1243,23 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         zeros_ = v0
         ones_ = v0 + 1.0
 
+        def gen_camera_ray(samp_u):
+            """Camera ray for a per-lane (S, L) uint32 sample id — the
+            vectorized form of raygen (same streams op for op)."""
+            r1, r2_, r3, r4 = _uniform4(pid, samp_u, jnp.uint32(0), seed)
+            u = (px + r1) * inv_w1
+            v = (py + r2_) * inv_h1
+            rad = jnp.sqrt(r3)
+            th = _TWO_PI * r4
+            ox = pos_x + rad * jnp.cos(th) * dux + rad * jnp.sin(th) * dvx
+            oy = pos_y + rad * jnp.cos(th) * duy + rad * jnp.sin(th) * dvy
+            oz = pos_z + rad * jnp.cos(th) * duz + rad * jnp.sin(th) * dvz
+            tx = ul_x + u * hx - v * vx - ox
+            ty = ul_y + u * hy - v * vy - oy
+            tz = ul_z + u * hz - v * vz - oz
+            dx, dy, dz = _normalize3(tx, ty, tz)
+            return ox, oy, oz, dx, dy, dz
+
         def sample_fwd(s, acc):
             ox, oy, oz, dx, dy, dz, sample_id = raygen(s)
             st0 = (ox, oy, oz, dx, dy, dz, ones_, ones_, ones_, ones_,
@@ -1270,8 +1287,97 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             ar, ag, ab = acc
             return (ar + carry[11], ag + carry[12], ab + carry[13])
 
-        ar, ag, ab = jax.lax.fori_loop(
-            0, spp, sample_fwd, (zeros_, zeros_, zeros_))
+        def regen_fwd_image():
+            """Per-lane sample-regeneration forward (the megakernel's
+            _regen_sample_loop bookkeeping + the diff estimator's pd_f
+            emission-skip carry): a lane pays ~ spp x mean path length
+            instead of spp x mb. Per-lane op sequences are identical to
+            the lockstep sample_fwd (same RNG streams keyed on
+            (pixel, sample, bounce), same fold order per lane), so the
+            image is bit-identical. Used when the intersection cache is
+            OFF — regeneration's per-lane (sample, bounce) cursors can't
+            store at the cache's uniform (s*mb + b) indices; at
+            cache-sized configs (small spp x mb) the lockstep+cache
+            combination is the faster pair anyway."""
+            fspp = float(spp)
+            fmb = float(mb)
+
+            def loop_cond(stt):
+                return jnp.min(stt[0]) < fspp
+
+            def loop_body(stt):
+                (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+                 tr_, tg_, tb_, col_r, col_g, col_b,
+                 acc_r, acc_g, acc_b, alive_f, pd_f) = stt
+                # fold the finished sample, start the next one (per lane)
+                need = alive_f < 0.5
+                acc_r = jnp.where(need, acc_r + col_r, acc_r)
+                acc_g = jnp.where(need, acc_g + col_g, acc_g)
+                acc_b = jnp.where(need, acc_b + col_b, acc_b)
+                samp_f = jnp.where(need, samp_f + 1.0, samp_f)
+                start = need & (samp_f < fspp)
+                samp_u = spp_offset + jnp.maximum(samp_f, 0.0).astype(
+                    jnp.int32).astype(jnp.uint32)
+                gox, goy, goz, gdx, gdy, gdz = gen_camera_ray(samp_u)
+                ox = jnp.where(start, gox, ox)
+                oy = jnp.where(start, goy, oy)
+                oz = jnp.where(start, goz, oz)
+                dx = jnp.where(start, gdx, dx)
+                dy = jnp.where(start, gdy, dy)
+                dz = jnp.where(start, gdz, dz)
+                col_r = jnp.where(need, 0.0, col_r)
+                col_g = jnp.where(need, 0.0, col_g)
+                col_b = jnp.where(need, 0.0, col_b)
+                tr_ = jnp.where(start, 1.0, tr_)
+                tg_ = jnp.where(start, 1.0, tg_)
+                tb_ = jnp.where(start, 1.0, tb_)
+                bnc_f = jnp.where(start, 0.0, bnc_f)
+                alive_f = jnp.where(start, 1.0, alive_f)
+                pd_f = jnp.where(start, 0.0, pd_f)
+
+                # one bounce for whoever is live
+                was_alive = alive_f
+                bctr = bnc_f.astype(jnp.int32).astype(jnp.uint32)
+                st = (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f,
+                      pd_f)
+                best_t, rowf, _hit = closest_hit(
+                    ox, oy, oz, dx, dy, dz, True)
+                g = shade(samp_u, bctr, st, best_t, rowf)
+                vis = shadow_vis(g)
+                dcr, dcg, dcb = color_adds(g, st, vis)
+                col_r = col_r + dcr
+                col_g = col_g + dcg
+                col_b = col_b + dcb
+                (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f,
+                 pd_f) = advance(g, st)
+                # budget exhaustion kills with NO background add
+                bnc_f = bnc_f + was_alive
+                alive_f = jnp.where(bnc_f < fmb, alive_f, 0.0)
+                return (samp_f, bnc_f, ox, oy, oz, dx, dy, dz,
+                        tr_, tg_, tb_, col_r, col_g, col_b,
+                        acc_r, acc_g, acc_b, alive_f, pd_f)
+
+            z0 = lambda: v0
+            o0 = lambda: v0 + 1.0
+            st0 = (
+                v0 - 1.0,                           # samp: pre-first
+                z0(),                               # bounce counter
+                z0(), z0(), z0(),                   # o (regen'd first)
+                z0(), z0(), o0(),                   # d (inert +z)
+                o0(), o0(), o0(),                   # throughput
+                z0(), z0(), z0(),                   # sample color
+                z0(), z0(), z0(),                   # accumulator
+                z0(),                               # dead -> regen
+                z0(),                               # pd_f
+            )
+            stt = jax.lax.while_loop(loop_cond, loop_body, st0)
+            return stt[14], stt[15], stt[16]
+
+        if cache_isect:
+            ar, ag, ab = jax.lax.fori_loop(
+                0, spp, sample_fwd, (zeros_, zeros_, zeros_))
+        else:
+            ar, ag, ab = regen_fwd_image()
         inv_spp = 1.0 / float(spp)
         img_r = ar * inv_spp
         img_g = ag * inv_spp
