@@ -311,8 +311,13 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             t0 = -half_b - sq
             t1 = -half_b + sq
-            ts = jnp.where((t0 >= _T_MIN) & (t0 < _MISS), t0,
-                           jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+            # no (t < _MISS) guard: real-row t is bounded ~1e5 and inert
+            # pad rows are rejected by the disc guard below (their
+            # half_b^2 / c_term overflow to inf: disc is NaN or -inf,
+            # never >= 0), so the bound check is vacuous — 4 VPU ops
+            # saved per (prim, ray)
+            ts = jnp.where(t0 >= _T_MIN, t0,
+                           jnp.where(t1 >= _T_MIN, t1, _MISS))
             ts = jnp.where(disc >= 0.0, ts, _MISS)
 
             den = qnx * dx + qny * dy + qnz * dz
@@ -324,7 +329,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 avx * dx + avy * dy + avz * dz) - qca
             be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
                 bvx * dx + bvy * dy + bvz * dz) - qcb
-            ok = (ok_den & (tq >= _T_MIN) & (tq < _MISS)
+            ok = (ok_den & (tq >= _T_MIN)
                   & (al >= 0.0) & (al < 1.0) & (be >= 0.0) & (be < 1.0))
             tq = jnp.where(ok, tq, _MISS)
 
@@ -399,7 +404,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             sq_safe = jnp.maximum(sq, 1e-8)
             t0 = -hb - sq
             t1 = -hb + sq
-            use0 = (t0 >= _T_MIN) & (t0 < _MISS)
+            use0 = t0 >= _T_MIN   # (t0 < _MISS) vacuous: see closest_hit
             t_sph = jnp.where(use0, t0, t1)
             # quad plane
             wnx, wny, wnz = cross3(wqux, wquy, wquz, wqvx, wqvy, wqvz)

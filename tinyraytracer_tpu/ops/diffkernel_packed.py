@@ -274,9 +274,12 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                     t0 = -half_b - sq
                     t1 = -half_b + sq
+                    # vacuous (t < _MISS) guards dropped — see the
+                    # classic kernel's note (disc guard keeps pad rows
+                    # and invalid roots inert)
                     ts = jnp.where(
-                        (t0 >= _T_MIN) & (t0 < _MISS), t0,
-                        jnp.where((t1 >= _T_MIN) & (t1 < _MISS), t1, _MISS))
+                        t0 >= _T_MIN, t0,
+                        jnp.where(t1 >= _T_MIN, t1, _MISS))
                     ts = jnp.where(disc >= 0.0, ts, _MISS)
                 else:
                     qnx, qny, qnz = tb(off), tb(off + 1), tb(off + 2)
@@ -294,7 +297,7 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                         avx * dx + avy * dy + avz * dz) - qca
                     be = (bvx * ox + bvy * oy + bvz * oz) + tq * (
                         bvx * dx + bvy * dy + bvz * dz) - qcb
-                    ok = (ok_den & (tq >= _T_MIN) & (tq < _MISS)
+                    ok = (ok_den & (tq >= _T_MIN)
                           & (al >= 0.0) & (al < 1.0)
                           & (be >= 0.0) & (be < 1.0))
                     ts = jnp.where(ok, tq, _MISS)
@@ -441,7 +444,7 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             sq_safe = jnp.maximum(sq, 1e-8)
             t0 = -hb - sq
             t1 = -hb + sq
-            use0 = (t0 >= _T_MIN) & (t0 < _MISS)
+            use0 = t0 >= _T_MIN   # (t0 < _MISS) vacuous: see closest_hit
             t_sph = jnp.where(use0, t0, t1)
             wnx, wny, wnz = cross3(wqux, wquy, wquz, wqvx, wqvy, wqvz)
             dden = dot3(wnx, wny, wnz, dx, dy, dz)
