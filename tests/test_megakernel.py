@@ -160,3 +160,23 @@ def test_material_specialization_bit_identical():
                                   np.asarray(full_packed))
     np.testing.assert_array_equal(np.asarray(spec_classic),
                                   np.asarray(full_classic))
+
+
+def test_packed_sharded_matches_single():
+    """The sharded packed kernel reproduces the single-device packed
+    render: tile-only meshes bitwise (placement-invariant RNG), sample
+    splits within the 1-ulp mean-of-means reassociation."""
+    from tinyraytracer_tpu.parallel.sharded import make_mesh
+
+    world, camera, kw = presets.cornell_box(width=20, height=14)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"],
+                              interpret=True)
+    ref = r.render(spp=4, max_bounces=3, seed=5, packed=True)
+    tile_only = r.render(spp=4, max_bounces=3, seed=5, packed=True,
+                         mesh=make_mesh(sample_parallel=1))
+    np.testing.assert_array_equal(np.asarray(tile_only), np.asarray(ref))
+    split = r.render(spp=4, max_bounces=3, seed=5, packed=True,
+                     mesh=make_mesh(sample_parallel=2))
+    np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
+                               atol=1e-6)

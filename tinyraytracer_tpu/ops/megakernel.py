@@ -1123,7 +1123,7 @@ class MegakernelRenderer:
             # lockstep mode and would silently drop the flags.
             from tinyraytracer_tpu.ops import megakernel_packed as mkp
             n_real = self.cs.n_sph_real + self.cs.n_quad_real
-            packed = (regen is None and early_exit is None and mesh is None
+            packed = (regen is None and early_exit is None
                       and self.clusters is None and not tile_rays
                       and n_real <= mkp.PACKED_MAX_PRIMS)
         if packed:
@@ -1134,6 +1134,15 @@ class MegakernelRenderer:
             ctl = jnp.asarray(
                 [[np.int32(np.uint32(seed)),
                   np.int32(np.uint32(spp_offset)), 0, 0]], jnp.int32)
+            if mesh is not None:
+                return mkp._render_packed_sharded(
+                    tab, self.cam_vec, ctl,
+                    spp=spp, max_bounces=max_bounces,
+                    width=self.camera.width, height=self.camera.height,
+                    prims=prims, s=mkp.PACKED_SUBLANES,
+                    l=mkp.PACKED_LANES, mesh=mesh,
+                    interpret=self.interpret,
+                    has_met=self.has_met, has_die=self.has_die)
             return mkp._render_packed(
                 tab, self.cam_vec, ctl,
                 spp=spp, max_bounces=max_bounces,

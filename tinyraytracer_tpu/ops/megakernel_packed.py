@@ -282,7 +282,8 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
 
 
 @functools.lru_cache(maxsize=32)
-def _packed_pixel_arrays(width: int, height: int, s: int, l: int):
+def _packed_pixel_arrays(width: int, height: int, s: int, l: int,
+                         g_mult: int = 1):
     """Block pixel order for (S, L) tiles: tile g covers a bw x bh pixel
     block (bw*bh = S*L), lane (s, l) -> block offset j = s*L + l. Edge
     blocks clamp to duplicate pixels, which recompute bit-identically (RNG
@@ -294,10 +295,17 @@ def _packed_pixel_arrays(width: int, height: int, s: int, l: int):
     nbx = -(-width // bw)
     nby = -(-height // bh)
     g = nbx * nby
+    # g_mult: pad the tile count to a multiple (sharding over the tile
+    # axis needs equal per-device grids). Pad blocks clamp to in-image
+    # pixels and recompute them bit-identically (RNG keys off pixel id
+    # alone); the reversed-write inverse map keeps the FIRST occurrence
+    # of every pixel, so pad duplicates never win.
+    g = ((g + g_mult - 1) // g_mult) * g_mult
     i = np.arange(g * tile)
     blk, j = i // tile, i % tile
     x = np.minimum((blk % nbx) * bw + j % bw, width - 1)
-    y = np.minimum((blk // nbx) * bh + j // bw, height - 1)
+    y = np.minimum(np.minimum(blk // nbx, nby - 1) * bh + j // bw,
+                   height - 1)
     pid = (y * width + x).astype(np.uint32)
     inv = np.zeros(width * height, np.int32)
     inv[pid[::-1]] = np.arange(len(pid) - 1, -1, -1, dtype=np.int32)
@@ -353,6 +361,91 @@ def _render_packed(
         out_shape=[jax.ShapeDtypeStruct((s, g * l), jnp.float32)] * 3,
         interpret=interpret,
     )(cam_vec, ctl, tab, jnp.asarray(pid), jnp.asarray(px), jnp.asarray(py))
+    color = jnp.stack(outs, 0)                       # (3, S, G*L)
+    color = color.reshape(3, s, g, l).transpose(0, 2, 1, 3).reshape(3, -1)
+    return jnp.take(color, jnp.asarray(inv), axis=1).T.reshape(
+        height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spp", "max_bounces", "width", "height", "prims",
+                     "s", "l", "mesh", "interpret", "has_met", "has_die"),
+)
+def _render_packed_sharded(
+    tab,
+    cam_vec,
+    ctl,
+    *,
+    spp: int,
+    max_bounces: int,
+    width: int,
+    height: int,
+    prims: tuple,
+    s: int,
+    l: int,
+    mesh,
+    interpret: bool = False,
+    has_met: bool = True,
+    has_die: bool = True,
+):
+    """Packed megakernel over a (tile x sample) mesh: pixel tile-blocks
+    shard over "tile", spp splits over "sample" with a pmean — the same
+    layout as megakernel._render_flat_sharded (scene table replicated,
+    rays are the big tensor). Tile-only meshes are bit-identical to the
+    single-device packed render (placement-invariant RNG); sample splits
+    agree to the 1-ulp mean-of-means reassociation."""
+    from jax.sharding import PartitionSpec as P
+
+    from tinyraytracer_tpu.parallel.sharded import SAMPLE_AXIS, TILE_AXIS
+
+    n_tile = mesh.shape[TILE_AXIS]
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    if spp % n_sample != 0:
+        raise ValueError(f"spp={spp} not divisible by sample axis "
+                         f"{n_sample}")
+    spp_local = spp // n_sample
+    pid, px, py, inv, g = _packed_pixel_arrays(width, height, s, l, n_tile)
+    nw = tab.shape[1]
+    kernel = _make_packed_kernel(spp_local, max_bounces, prims,
+                                 has_met, has_die)
+    g_local = g // n_tile
+    tile = lambda i: (0, i)
+
+    def body(cam_v, ctl_v, tab_v, pid_a, px_a, py_a):
+        s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
+        ctl_v = ctl_v.at[0, 1].add(s_idx * jnp.int32(spp_local))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(g_local,),
+            in_specs=[
+                pl.BlockSpec((1, 32), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nw), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((s, l), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, l), tile, memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, l), tile, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((s, l), tile,
+                                    memory_space=pltpu.VMEM)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((s, g_local * l),
+                                            jnp.float32)] * 3,
+            interpret=interpret,
+        )(cam_v, ctl_v, tab_v, pid_a, px_a, py_a)
+        return tuple(jax.lax.pmean(o, SAMPLE_AXIS) for o in outs)
+
+    shard = P(None, TILE_AXIS)
+    outs = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), shard, shard, shard),
+        out_specs=(shard,) * 3,
+        check_vma=False,
+    )(cam_vec, ctl, tab, jnp.asarray(pid), jnp.asarray(px),
+      jnp.asarray(py))
     color = jnp.stack(outs, 0)                       # (3, S, G*L)
     color = color.reshape(3, s, g, l).transpose(0, 2, 1, 3).reshape(3, -1)
     return jnp.take(color, jnp.asarray(inv), axis=1).T.reshape(
