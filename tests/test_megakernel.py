@@ -165,18 +165,37 @@ def test_material_specialization_bit_identical():
 def test_packed_sharded_matches_single():
     """The sharded packed kernel reproduces the single-device packed
     render: tile-only meshes bitwise (placement-invariant RNG), sample
-    splits within the 1-ulp mean-of-means reassociation."""
+    splits within the 1-ulp mean-of-means reassociation.
+
+    Uses a small (8, 16) tile so the 20x14 image spans FOUR distinct
+    tile blocks — different devices own different pixels, so any
+    cross-device ordering bug in the sharded recombination (not just a
+    per-device math bug) fails the bitwise assertion."""
+    import jax.numpy as jnp
+    from tinyraytracer_tpu.ops import megakernel_packed as mkp
     from tinyraytracer_tpu.parallel.sharded import make_mesh
 
     world, camera, kw = presets.cornell_box(width=20, height=14)
     scene = world.build()
     r = mk.MegakernelRenderer(scene, camera, kw["background"],
                               interpret=True)
-    ref = r.render(spp=4, max_bounces=3, seed=5, packed=True)
-    tile_only = r.render(spp=4, max_bounces=3, seed=5, packed=True,
-                         mesh=make_mesh(sample_parallel=1))
+    tab, prims = mkp.scene_table(r.cs, r.pay)
+    ctl = jnp.asarray([[5, 0, 0, 0]], jnp.int32)
+    common = dict(spp=4, max_bounces=3, width=20, height=14, prims=prims,
+                  s=8, l=16, interpret=True,
+                  has_met=r.has_met, has_die=r.has_die)
+    ref = mkp._render_packed(tab, r.cam_vec, ctl, **common)
+    assert mkp._packed_pixel_arrays(20, 14, 8, 16)[-1] >= 4  # distinct tiles
+    tile_only = mkp._render_packed_sharded(
+        tab, r.cam_vec, ctl, mesh=make_mesh(sample_parallel=1), **common)
     np.testing.assert_array_equal(np.asarray(tile_only), np.asarray(ref))
-    split = r.render(spp=4, max_bounces=3, seed=5, packed=True,
-                     mesh=make_mesh(sample_parallel=2))
+    split = mkp._render_packed_sharded(
+        tab, r.cam_vec, ctl, mesh=make_mesh(sample_parallel=2), **common)
     np.testing.assert_allclose(np.asarray(split), np.asarray(ref),
                                atol=1e-6)
+    # the public route stays covered at the module tile size
+    pub = r.render(spp=4, max_bounces=3, seed=5, packed=True,
+                   mesh=make_mesh(sample_parallel=1))
+    np.testing.assert_array_equal(
+        np.asarray(pub),
+        np.asarray(r.render(spp=4, max_bounces=3, seed=5, packed=True)))

@@ -140,13 +140,21 @@ def static_kind_flags(st: DiffStatic):
     primitive use a Metal / Dielectric material? Lets the fused kernels
     compile out the absent scatter chains and their adjoints — exactly
     value-preserving, since the dropped terms are winner-gated selects
-    (never taken) and exact-zero cotangent products (see bounce_adj)."""
+    (never taken) and exact-zero cotangent products (see bounce_adj).
+
+    The DiffStatic twin of megakernel.used_kind_flags (which reads the
+    SceneArrays directly): the diff kernels receive possibly-traced
+    scenes, so the flags must come from the host-computed static
+    structure. Both use the same materials.* kind codes; equality of the
+    two derivations is gated by tests/test_diffkernel.py."""
+    from tinyraytracer_tpu.models import materials as mat
+
     used = set()
     for i in range(len(st.sph_rows)):
         used.add(st.mat_kinds[st.mat_ids[i]])
     for j in range(len(st.quad_rows)):
         used.add(st.mat_kinds[st.mat_ids[st.ns + j]])
-    return (1 in used), (2 in used)
+    return (mat.METAL in used), (mat.DIELECTRIC in used)
 
 
 def diff_tables(scene: SceneArrays, st: DiffStatic):

@@ -86,11 +86,24 @@ DIFF_PACKED_MAX_PRIMS = int(
 
 # VMEM budget for the phase-1 intersection cache (winner t / winner row /
 # shadow vis per (sample, bounce)): 3 * spp * mb * S * L * 4 bytes. When
-# it fits, the phase-3 replay skips its closest-hit and shadow re-traces
-# (~30% of a replay bounce); when it doesn't (e.g. spp=200 mb=20), the
-# replay recomputes as before.
+# it fits ALONGSIDE the kernel's other VMEM residents (reverse-sweep
+# bounce saves, live shade intermediates, I/O blocks — see
+# _non_cache_vmem_bytes) under the scoped-VMEM limit, the phase-3 replay
+# skips its closest-hit and shadow re-traces (~30% of a replay bounce);
+# when it doesn't (e.g. spp=200 mb=20), the replay recomputes as before.
 DIFF_ISECT_CACHE_BYTES = int(
     _os.environ.get("TINYRT_DIFF_ISECT_CACHE_BYTES", str(48 * 1024 * 1024)))
+DIFF_VMEM_LIMIT = int(
+    _os.environ.get("TINYRT_DIFF_VMEM_LIMIT", str(100 * 1024 * 1024)))
+
+
+def _non_cache_vmem_bytes(mb: int, s: int, l: int) -> int:
+    """Rough upper bound on the kernel's VMEM residents other than the
+    intersection cache: the reverse sweep's 14-array-per-bounce saves,
+    ~90 live (S, L) shade intermediates, and 10 (S, L) I/O blocks.
+    Deliberately generous — the check only decides cache on/off."""
+    lane_bytes = s * l * 4
+    return (14 * mb + 90 + 10) * lane_bytes
 
 # Per-prim SMEM blocks. Geometry intersection fields first, then the
 # differentiable raw fields and the material block the winner-field
@@ -376,9 +389,14 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        def raygen(s):
-            sample_id = spp_offset + s.astype(jnp.uint32)
-            r1, r2_, r3, r4 = _uniform4(pid, sample_id, jnp.uint32(0), seed)
+        def gen_camera_ray(samp_u):
+            """Camera ray for a sample id (scalar uint32 on the lockstep
+            path, per-lane (S, L) uint32 on the regeneration path — the
+            PCG4D broadcasts make the arithmetic identical either way).
+            The ONE copy of the defocus-disk/pixel-jitter math: raygen
+            and the regen loop both call it, so lockstep-vs-regen
+            bit-parity has a single point of change."""
+            r1, r2_, r3, r4 = _uniform4(pid, samp_u, jnp.uint32(0), seed)
             u = (px + r1) * inv_w1
             v = (py + r2_) * inv_h1
             rad = jnp.sqrt(r3)
@@ -390,7 +408,11 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             ty = ul_y + u * hy - v * vy - oy
             tz = ul_z + u * hz - v * vz - oz
             dx, dy, dz = _normalize3(tx, ty, tz)
-            return ox, oy, oz, dx, dy, dz, sample_id
+            return ox, oy, oz, dx, dy, dz
+
+        def raygen(s):
+            sample_id = spp_offset + s.astype(jnp.uint32)
+            return (*gen_camera_ray(sample_id), sample_id)
 
         # ---------------------------------------------------------------
         # shade: all per-bounce intermediates from (state, winner). Same
@@ -1246,23 +1268,6 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         zeros_ = v0
         ones_ = v0 + 1.0
 
-        def gen_camera_ray(samp_u):
-            """Camera ray for a per-lane (S, L) uint32 sample id — the
-            vectorized form of raygen (same streams op for op)."""
-            r1, r2_, r3, r4 = _uniform4(pid, samp_u, jnp.uint32(0), seed)
-            u = (px + r1) * inv_w1
-            v = (py + r2_) * inv_h1
-            rad = jnp.sqrt(r3)
-            th = _TWO_PI * r4
-            ox = pos_x + rad * jnp.cos(th) * dux + rad * jnp.sin(th) * dvx
-            oy = pos_y + rad * jnp.cos(th) * duy + rad * jnp.sin(th) * dvy
-            oz = pos_z + rad * jnp.cos(th) * duz + rad * jnp.sin(th) * dvz
-            tx = ul_x + u * hx - v * vx - ox
-            ty = ul_y + u * hy - v * vy - oy
-            tz = ul_z + u * hz - v * vz - oz
-            dx, dy, dz = _normalize3(tx, ty, tz)
-            return ox, oy, oz, dx, dy, dz
-
         def sample_fwd(s, acc):
             ox, oy, oz, dx, dy, dz, sample_id = raygen(s)
             st0 = (ox, oy, oz, dx, dy, dz, ones_, ones_, ones_, ones_,
@@ -1552,8 +1557,11 @@ def render_value_and_grad_packed(
     ns, nq, nl, nm = st.ns, st.nq, st.nl, st.nm
     from tinyraytracer_tpu.ops.diffkernel import static_kind_flags
     has_met, has_die = static_kind_flags(st)
-    cache_isect = (3 * spp * max_bounces * s * l * 4
-                   <= DIFF_ISECT_CACHE_BYTES)
+    cache_bytes = 3 * spp * max_bounces * s * l * 4
+    cache_isect = (
+        cache_bytes <= DIFF_ISECT_CACHE_BYTES
+        and cache_bytes + _non_cache_vmem_bytes(max_bounces, s, l)
+        <= DIFF_VMEM_LIMIT)
     kernel = _make_packed_diff_kernel(
         spp, max_bounces, prims, light_off, ns, nq, nm, nl,
         st.n_lights, nee, silhouette, s, l, has_met, has_die, cache_isect)
@@ -1598,8 +1606,7 @@ def render_value_and_grad_packed(
             compiler_params=pltpu.CompilerParams(
                 # the reverse sweep's bounce saves + live shade dict
                 # exceed the default scoped-VMEM budget at >=8192 rays
-                vmem_limit_bytes=int(_os.environ.get(
-                    "TINYRT_DIFF_VMEM_LIMIT", str(100 * 1024 * 1024))),
+                vmem_limit_bytes=DIFF_VMEM_LIMIT,
             ),
             interpret=interpret,
         )(cam_v, ctl_v, tab_v, pid_a, px_a, py_a, wgt_a, t0, t1, t2)
