@@ -34,7 +34,11 @@ standalone Mosaic probe (scripts/probe_packgrad.py, probe_packgrad2.py):
   visibility) instead of keeping the ~90-array shade dict alive per
   bounce: at (S, L) tiles the classic save-everything scheme would need
   ~4 MB/bounce of VMEM; recompute trades that for ~one extra shade per
-  bounce (VPU FLOPs are cheaper than VMEM).
+  bounce (VPU FLOPs are cheaper than VMEM). Re-measured at (8, 512) in
+  round 3: saving the full dict fits the VMEM limit but runs 5% SLOWER
+  at cornell_spheres 300^2 spp16 mb8 and no faster at the north-star
+  config — the save/restore traffic out-costs the recompute it skips,
+  so recompute stays.
 
 Semantics are unchanged: same pcg4d streams keyed on (pixel, sample,
 bounce) — placement-invariant, so gradients match the classic fused
