@@ -199,3 +199,22 @@ def test_packed_sharded_matches_single():
     np.testing.assert_array_equal(
         np.asarray(pub),
         np.asarray(r.render(spp=4, max_bounces=3, seed=5, packed=True)))
+
+
+def test_auto_tile_rays_feasibility():
+    """Large scenes shrink the ray tile to keep the (N, TR) candidate
+    matrix compilable; beyond the 128-lane floor the helper says
+    infeasible (Renderer auto then falls back to the modular BVH path)."""
+    assert mk.auto_tile_rays(512, 1024) == 1024      # config-4 scale
+    assert mk.auto_tile_rays(1024, 1024) == 512
+    assert mk.auto_tile_rays(4096, 1024) == 128
+    assert mk.auto_tile_rays(8192, 1024) == 0
+    # tile choice does not change pixel values: per-pixel RNG/ops are
+    # tile-placement invariant
+    world, camera, kw = presets.three_spheres(width=16, height=12)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, camera, kw["background"],
+                              interpret=True)
+    a = r.render(spp=2, max_bounces=3, seed=5, regen=True, tile_rays=256)
+    b = r.render(spp=2, max_bounces=3, seed=5, regen=True, tile_rays=128)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

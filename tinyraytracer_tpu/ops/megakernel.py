@@ -54,6 +54,24 @@ import os as _os
 # matrix stays tiny in VMEM. Overridable for experiments.
 TILE_RAYS = int(_os.environ.get("TINYRT_TILE_RAYS", "1024"))
 
+# Feasibility cap on (candidate rows x tile rays): the kernel keeps
+# several (N, TR) f32 intermediates live, and Mosaic fails to allocate
+# past ~512K elements (measured on v5e: 512x1024 [config 4] and
+# 4008x128 compile; 4008x256 does not). The auto tile shrinks to keep
+# N*TR under this; beyond it at the 128-lane floor the scene must use
+# the modular BVH path (Renderer routes this automatically).
+MAX_ROWS_X_TILE = int(_os.environ.get("TINYRT_MAX_ROWS_X_TILE",
+                                      str(512 * 1024)))
+
+
+def auto_tile_rays(n_rows: int, want: int = 0) -> int:
+    """Largest power-of-2 tile in [128, want] with n_rows*tile under the
+    feasibility cap (0 = no feasible tile even at 128 lanes)."""
+    tr = want or TILE_RAYS
+    while tr > 128 and n_rows * tr > MAX_ROWS_X_TILE:
+        tr //= 2
+    return 0 if n_rows * tr > MAX_ROWS_X_TILE else tr
+
 _T_MIN = 1.0e-3      # sampler/cpu.rs:48
 _MISS = 3.0e38
 _TWO_PI = 6.283185307179586
@@ -1166,8 +1184,19 @@ class MegakernelRenderer:
             # Cornell 600^2: tr=256 38.9 / 512 57.6 / 1024 78.0 Mrays/s;
             # cfg4: 1024 > 2048). Classic early-exit fires only when the
             # whole tile is dead and wants small tiles instead (measured
-            # cfg4: 4.1 at 1024 -> 5.6 at 256).
-            tile_rays = 256 if (early_exit and not regen) else TILE_RAYS
+            # cfg4: 4.1 at 1024 -> 5.6 at 256). Very large scenes shrink
+            # the tile so the (N, TR) candidate matrix stays compilable
+            # (auto_tile_rays / MAX_ROWS_X_TILE).
+            want = 256 if (early_exit and not regen) else TILE_RAYS
+            n_rows = ((self.cs.ns if self.cs.n_sph_real else 0)
+                      + (self.cs.nq if self.cs.n_quad_real else 0))
+            tile_rays = auto_tile_rays(n_rows, want)
+            if not tile_rays:
+                raise ValueError(
+                    f"scene has {n_rows} candidate rows — beyond the "
+                    "megakernel's VMEM feasibility at the 128-lane tile "
+                    "floor; use the modular BVH path "
+                    "(Renderer(accelerator='bvh'))")
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,

@@ -89,16 +89,29 @@ class Renderer:
 
     # -- core --------------------------------------------------------------
 
-    def _use_megakernel(self) -> bool:
+    def _use_megakernel(self, scene: Optional[SceneArrays] = None) -> bool:
         if self.accelerator == "megakernel":
             return True
         if self.accelerator != "auto":
             return False
-        return jax.devices()[0].platform == "tpu"
+        if jax.devices()[0].platform != "tpu":
+            return False
+        if scene is not None:
+            # Very large scenes exceed the megakernel's VMEM feasibility
+            # even at its smallest ray tile — auto falls back to the
+            # modular BVH path (the reference's own large-N strategy,
+            # bvh.rs). Row count matches the kernel's candidate matrix:
+            # padded spheres + padded quads.
+            from tinyraytracer_tpu.ops.megakernel import auto_tile_rays
+
+            n_rows = scene.sph_center.shape[0] + scene.quad_corner.shape[0]
+            if not auto_tile_rays(n_rows):
+                return False
+        return True
 
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
         """Linear-radiance (H, W, 3) framebuffer on device."""
-        if self._use_megakernel():
+        if self._use_megakernel(scene):
             from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
             mesh = None
@@ -171,7 +184,7 @@ class Renderer:
         ]
         w, h = camera.width, camera.height
         bar = ProgressBar(total=spp, label="spp")
-        if self._use_megakernel():
+        if self._use_megakernel(scene):
             from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
             mk = MegakernelRenderer(scene, camera, self.background_color)
