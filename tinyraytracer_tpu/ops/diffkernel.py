@@ -1404,6 +1404,16 @@ def render_value_and_grad(
             "mesh-sharded fused training runs through the packed kernel; "
             "this scene exceeds its unroll limit — use the modular "
             "make_train_step(mesh=...) path instead")
+    if not packed:
+        from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
+
+        n_rows = st.ns + st.nq
+        if n_rows * TILE > MAX_ROWS_X_TILE:
+            raise ValueError(
+                f"scene has {n_rows} candidate rows — beyond the fused "
+                "diff kernel's VMEM feasibility (see "
+                "megakernel.MAX_ROWS_X_TILE); use the modular "
+                "make_train_step path for scenes this large")
     if packed:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             render_value_and_grad_packed,
