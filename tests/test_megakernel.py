@@ -218,3 +218,58 @@ def test_auto_tile_rays_feasibility():
     a = r.render(spp=2, max_bounces=3, seed=5, regen=True, tile_rays=256)
     b = r.render(spp=2, max_bounces=3, seed=5, regen=True, tile_rays=128)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("fuzz_seed", [11, 29, 47])
+def test_megakernel_matches_modular_random_scene(fuzz_seed):
+    """Randomized mixed scenes (spheres + quads, all four material kinds,
+    random camera) — both megakernel layouts must reproduce the modular
+    oracle. Broader than the preset-parametrized parity test: exercises
+    arbitrary material/geometry mixes, kind specialization with every
+    flag combination, and the padded-row compaction at odd counts."""
+    from tinyraytracer_tpu.models.camera import Camera
+    from tinyraytracer_tpu.models.geometry import Quad, Sphere
+    from tinyraytracer_tpu.models.materials import (
+        Dielectric, Lambertian, Light, Metal,
+    )
+    from tinyraytracer_tpu.models.world import World
+
+    rng = np.random.RandomState(fuzz_seed)
+    world = World()
+    makers = [
+        lambda: Lambertian(tuple(rng.uniform(0.1, 0.9, 3))),
+        lambda: Metal(tuple(rng.uniform(0.1, 0.9, 3)),
+                      float(rng.uniform(0.0, 0.8))),
+        lambda: Dielectric(tuple(rng.uniform(0.5, 1.0, 3)),
+                           float(rng.uniform(1.1, 2.0))),
+        lambda: Light(tuple(rng.uniform(1.0, 4.0, 3))),
+    ]
+    n_mats = rng.randint(2, 6)
+    names = []
+    for i in range(n_mats):
+        name = f"m{i}"
+        world.add_material(name, makers[rng.randint(len(makers))]())
+        names.append(name)
+    for _ in range(rng.randint(1, 6)):
+        c = rng.uniform(-3, 3, 3)
+        world.add_geometry(Sphere(tuple(c), float(rng.uniform(0.3, 1.2)),
+                                  names[rng.randint(n_mats)]))
+    for _ in range(rng.randint(0, 4)):
+        world.add_geometry(Quad(tuple(rng.uniform(-3, 3, 3)),
+                                tuple(rng.uniform(-2, 2, 3)),
+                                tuple(rng.uniform(-2, 2, 3)),
+                                names[rng.randint(n_mats)]))
+    camera = Camera.new(
+        float(rng.uniform(3, 8)), float(rng.uniform(0.0, 1.0)),
+        tuple(rng.uniform(-1, 1, 3) + np.array([0, 0, -8])),
+        (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 50.0, 16, 12)
+    bg = tuple(rng.uniform(0.0, 0.8, 3))
+    scene = world.build()
+    ref = trace_ops.render_image(
+        scene, camera, spp=2, max_bounces=4,
+        background=jnp.asarray(bg, jnp.float32), seed=7)
+    r = mk.MegakernelRenderer(scene, camera, bg, interpret=True)
+    for kwargs in (dict(packed=True), dict(regen=True), dict(regen=False)):
+        img = r.render(spp=2, max_bounces=4, seed=7, **kwargs)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6, err_msg=str(kwargs))
