@@ -150,9 +150,10 @@ def _bench_fwdbwd(result) -> None:
     from tinyraytracer_tpu.ops.diffkernel import build_diff_static
 
     st2 = build_diff_static(scene2)
+    # this config runs lockstep phase 1 + the cached replay
     result["pct_sol_fwdbwd_vpu_roofline"] = round(
         sol.pct_of_sol_diff(result["fwdbwd_rays_per_sec"],
-                            st2.ns, st2.nq, bmb), 3)
+                            st2.ns, st2.nq, bmb, cached_replay=True), 3)
     result["fwdbwd_config"] = (
         f"cornell {bw}x{bh} spp={bspp} mb={bmb} fused-kernel train step "
         "(render+MSE+full backward+adam)"
@@ -193,6 +194,17 @@ def _bench_northstar(result) -> None:
     result["fwdbwd_northstar_cornell600_spp200_mb20"] = round(
         nw_ * nh_ * nspp / ns_dt, 1)
     result["fwdbwd_northstar_step_s"] = round(ns_dt, 3)
+    # north-star mode: regenerative phase 1 (mean executed bounces),
+    # uncached replay
+    from tinyraytracer_tpu.ops.diffkernel import build_diff_static
+    from tinyraytracer_tpu.utils import sol
+
+    st3 = build_diff_static(scene3)
+    mean_b3 = result.get("cornell_mean_executed_bounces", float(nmb))
+    result["pct_sol_fwdbwd_northstar_vpu_roofline"] = round(
+        sol.pct_of_sol_diff(
+            result["fwdbwd_northstar_cornell600_spp200_mb20"],
+            st3.ns, st3.nq, nmb, fwd_bounces=mean_b3), 3)
 
 
 if __name__ == "__main__":

@@ -81,34 +81,60 @@ def pct_of_sol(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
 # NEE adds a shadow-visibility pass per bounce in BOTH forward and replay;
 # that is folded into SEGMENT_FIXED_OPS's shading estimate already used by
 # the forward model, so the multipliers below apply to the same per_seg.
+#
+# Round-3 execution modes change what the kernel ACTUALLY executes, and
+# the roofline numerator must charge executed work, not the old lockstep
+# upper bound (otherwise skipped work would inflate pct_sol):
+#   - cached replay (small spp x mb): phase 3's replay reads phase-1's
+#     (winner t, row, shadow vis) from VMEM scratch — only the shade
+#     chain remains, ~REPLAY_CACHED_MULT of a full segment;
+#   - regenerative phase 1 (large spp x mb, cache off): the forward
+#     phase pays ~mean executed bounces per sample, not the budget —
+#     pass `fwd_bounces` (see mean_executed_bounces).
+# Phase 3 (replay + adjoint) is always lockstep over the full budget.
 
-DIFF_SEGMENT_MULT = 4.0          # fwd + replay + ~2x adjoint
 DIFF_SCATTER_FIXED_OPS = 220.0   # per bounce: one-hot + concat builds
 DIFF_RAY_FIXED_OPS = 2.0 * RAY_FIXED_OPS + 40.0  # two raygens + cotangent
+REPLAY_CACHED_MULT = 0.45        # cached replay: shade only, no re-trace
 
 
 def ops_per_camera_ray_diff(n_sph_rows: int, n_quad_rows: int,
-                            max_bounces: int) -> float:
-    """Modelled VPU ops one camera sample costs in the fused train step."""
+                            max_bounces: int, *,
+                            fwd_bounces: float | None = None,
+                            cached_replay: bool = False) -> float:
+    """Modelled VPU ops one camera sample costs in the fused train step.
+
+    fwd_bounces: bounce iterations phase 1 executes per sample — the
+    budget on the lockstep/cached path (default), the measured mean on
+    the regenerative path. cached_replay: True when the intersection
+    cache is active (replay skips its closest-hit and shadow re-trace).
+    """
     per_seg = (
         n_sph_rows * (SPHERE_OPS_PER_ROW + WINNER_OPS_PER_ROW)
         + n_quad_rows * (QUAD_OPS_PER_ROW + WINNER_OPS_PER_ROW)
         + SEGMENT_FIXED_OPS
     )
-    return DIFF_RAY_FIXED_OPS + max_bounces * (
-        DIFF_SEGMENT_MULT * per_seg + DIFF_SCATTER_FIXED_OPS
+    if fwd_bounces is None:
+        fwd_bounces = float(max_bounces)
+    replay_mult = REPLAY_CACHED_MULT if cached_replay else 1.0
+    return DIFF_RAY_FIXED_OPS + (
+        fwd_bounces * per_seg                      # phase 1 forward
+        + max_bounces * replay_mult * per_seg      # phase 3 replay
+        + max_bounces * 2.0 * per_seg              # adjoint chains
+        + max_bounces * DIFF_SCATTER_FIXED_OPS
     )
 
 
 def pct_of_sol_diff(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
-                    max_bounces: int) -> float:
-    """Fraction of the VPU roofline the fused fwd+bwd step achieves.
-
-    Uses the full bounce budget (the diff kernel is lockstep — every lane
-    pays every bounce), unlike the forward model's mean executed bounces.
-    """
+                    max_bounces: int, *,
+                    fwd_bounces: float | None = None,
+                    cached_replay: bool = False) -> float:
+    """Fraction of the VPU roofline the fused fwd+bwd step achieves,
+    charging the work the kernel actually executes under its mode (see
+    the mode notes above)."""
     achieved = rays_per_sec * ops_per_camera_ray_diff(
-        n_sph_rows, n_quad_rows, max_bounces
+        n_sph_rows, n_quad_rows, max_bounces,
+        fwd_bounces=fwd_bounces, cached_replay=cached_replay,
     )
     return achieved / VPU_F32_OPS_PER_SEC
 
