@@ -50,6 +50,17 @@ def main(argv=None) -> int:
 
     import jax
 
+    # Persistent compile cache (same as bench.py): repeat CLI renders of
+    # the same (scene class, size, spp) skip the 20-40s XLA/Mosaic
+    # compile — the reference binary's analog is its ahead-of-time
+    # metallib (build.rs).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.renderer import Renderer
 
