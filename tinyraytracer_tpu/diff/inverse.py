@@ -520,6 +520,7 @@ def fit(
     refresh_compact_every: int = 10,
     log_every: int = 0,
     average_last: int = 0,
+    engine: str = "auto",
 ) -> Tuple[SceneArrays, list]:
     """Run `steps` of Adam on the scene params; returns (scene, loss curve).
 
@@ -536,27 +537,70 @@ def fit(
     heavy-tailed gradient noise (silhouette/shadow score-term spikes) and
     the iterate random-walks around the optimum; tail averaging cancels
     the walk.
+
+    `engine`: "fused" runs the one-launch fused kernel
+    (make_fused_train_step, same estimator and gradients, ~50x the
+    modular step on TPU; geometry tables rebuild from live params every
+    step inside jit, so no compact refresh is needed); "modular" runs
+    the autodiff path; "auto" picks fused on TPU when the scene fits the
+    fused kernel's limits, modular otherwise.
     """
-    step_fn, (params, opt_state) = make_train_step(
-        scene_template,
-        camera,
-        target,
-        spp=spp,
-        max_bounces=max_bounces,
-        background=background,
-        seed=seed,
-        learning_rate=learning_rate,
-        optimizer=optimizer,
-        trainable=trainable,
-        mesh=mesh,
-    )
+    if engine not in ("auto", "fused", "modular"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        use_fused = False
+        if jax.devices()[0].platform == "tpu":
+            from tinyraytracer_tpu.ops.diffkernel import (
+                TILE, build_diff_static)
+            from tinyraytracer_tpu.ops.diffkernel_packed import (
+                DIFF_PACKED_MAX_PRIMS)
+            from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
+
+            st_f = build_diff_static(scene_template)
+            n_real = len(st_f.sph_rows) + len(st_f.quad_rows)
+            packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
+            classic_ok = (mesh is None
+                          and (st_f.ns + st_f.nq) * TILE <= MAX_ROWS_X_TILE)
+            use_fused = packed_ok or classic_ok
+        engine = "fused" if use_fused else "modular"
+    if engine == "fused":
+        step_fn, (params, opt_state) = make_fused_train_step(
+            scene_template,
+            camera,
+            target,
+            spp=spp,
+            max_bounces=max_bounces,
+            background=background,
+            seed=seed,
+            learning_rate=learning_rate,
+            optimizer=optimizer,
+            trainable=trainable,
+            mesh=mesh,
+        )
+    else:
+        step_fn, (params, opt_state) = make_train_step(
+            scene_template,
+            camera,
+            target,
+            spp=spp,
+            max_bounces=max_bounces,
+            background=background,
+            seed=seed,
+            learning_rate=learning_rate,
+            optimizer=optimizer,
+            trainable=trainable,
+            mesh=mesh,
+        )
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         params, opt_state, start = load_checkpoint(checkpoint_path, opt_state)
     fits_geometry = trainable is None or bool(
         _GEOMETRY_FIELDS & set(trainable)
     )
-    use_kernel = jax.devices()[0].platform == "tpu"
+    # The fused kernel derives its tables from live params inside jit —
+    # geometry is always fresh, no compacted snapshot to refresh.
+    use_kernel = (engine == "modular"
+                  and jax.devices()[0].platform == "tpu")
     compact = refresh_compact(scene_template, params) if use_kernel else None
     losses = []
     avg_from = max(start, steps - average_last) if average_last else steps
