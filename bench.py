@@ -51,7 +51,6 @@ def _best_of(f, n=3):
 
 
 def main() -> None:
-    from tinyraytracer_tpu.diff.inverse import make_fused_train_step
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
     from tinyraytracer_tpu.utils import sol

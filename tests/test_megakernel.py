@@ -205,10 +205,14 @@ def test_auto_tile_rays_feasibility():
     """Large scenes shrink the ray tile to keep the (N, TR) candidate
     matrix compilable; beyond the 128-lane floor the helper says
     infeasible (Renderer auto then falls back to the modular BVH path)."""
-    assert mk.auto_tile_rays(512, 1024) == 1024      # config-4 scale
-    assert mk.auto_tile_rays(1024, 1024) == 512
-    assert mk.auto_tile_rays(4096, 1024) == 128
-    assert mk.auto_tile_rays(8192, 1024) == 0
+    cap = mk.MAX_ROWS_X_TILE   # env-overridable; derive expectations
+    assert mk.auto_tile_rays(cap // 1024, 1024) == 1024
+    assert mk.auto_tile_rays(cap // 1024 + 8, 1024) == 512
+    assert mk.auto_tile_rays(cap // 128, 1024) == 128
+    assert mk.auto_tile_rays(cap // 128 + 8, 1024) == 0
+    # want normalization: non-pow2 / sub-128 overrides stay lane-aligned
+    assert mk.auto_tile_rays(8, 192) == 128
+    assert mk.auto_tile_rays(8, 64) == 128
     # tile choice does not change pixel values: per-pixel RNG/ops are
     # tile-placement invariant
     world, camera, kw = presets.three_spheres(width=16, height=12)

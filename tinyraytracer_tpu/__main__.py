@@ -53,12 +53,18 @@ def main(argv=None) -> int:
     # Persistent compile cache (same as bench.py): repeat CLI renders of
     # the same (scene class, size, spp) skip the 20-40s XLA/Mosaic
     # compile — the reference binary's analog is its ahead-of-time
-    # metallib (build.rs).
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"),
-    )
+    # metallib (build.rs). A repo checkout shares bench.py's .jax_cache;
+    # an installed package (read-only site-packages) uses the user cache
+    # dir instead of littering the install tree.
+    repo_cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    if os.access(os.path.dirname(repo_cache), os.W_OK):
+        cache_dir = repo_cache
+    else:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "tinyraytracer_tpu",
+            "jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from tinyraytracer_tpu.models import presets

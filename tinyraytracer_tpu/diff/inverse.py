@@ -366,8 +366,13 @@ def make_fused_train_step(
     mesh=None,
     tile: Optional[Tuple[int, int]] = None,
     grad_chunks: int = 1,
+    static=None,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Train step on the fused differentiable kernel (ops/diffkernel.py).
+
+    static: optional precomputed build_diff_static(scene_template) — the
+    host-side scene compaction; pass it when the caller already built one
+    (fit's auto-engine probe) to avoid repeating the analysis.
 
     Semantics match make_train_step(nee=True, silhouette=True) — same
     estimator, RNG streams and gradients (tests/test_diffkernel.py) — but
@@ -403,7 +408,8 @@ def make_fused_train_step(
 
     optimizer = optimizer or optax.adam(learning_rate)
     target = jnp.asarray(target, jnp.float32)
-    static = build_diff_static(scene_template)
+    if static is None:
+        static = build_diff_static(scene_template)
     stride = spp if advance_samples else 0
     trainset = None if trainable is None else frozenset(trainable)
     if grad_chunks < 1 or spp % grad_chunks:
@@ -547,6 +553,7 @@ def fit(
     """
     if engine not in ("auto", "fused", "modular"):
         raise ValueError(f"unknown engine {engine!r}")
+    fused_static = None
     if engine == "auto":
         use_fused = False
         if jax.devices()[0].platform == "tpu":
@@ -556,41 +563,32 @@ def fit(
                 DIFF_PACKED_MAX_PRIMS)
             from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
 
-            st_f = build_diff_static(scene_template)
-            n_real = len(st_f.sph_rows) + len(st_f.quad_rows)
+            fused_static = build_diff_static(scene_template)
+            n_real = len(fused_static.sph_rows) + len(fused_static.quad_rows)
             packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
             classic_ok = (mesh is None
-                          and (st_f.ns + st_f.nq) * TILE <= MAX_ROWS_X_TILE)
+                          and (fused_static.ns + fused_static.nq) * TILE
+                          <= MAX_ROWS_X_TILE)
             use_fused = packed_ok or classic_ok
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
-        step_fn, (params, opt_state) = make_fused_train_step(
-            scene_template,
-            camera,
-            target,
-            spp=spp,
-            max_bounces=max_bounces,
-            background=background,
-            seed=seed,
-            learning_rate=learning_rate,
-            optimizer=optimizer,
-            trainable=trainable,
-            mesh=mesh,
-        )
+        factory = functools.partial(make_fused_train_step,
+                                    static=fused_static)
     else:
-        step_fn, (params, opt_state) = make_train_step(
-            scene_template,
-            camera,
-            target,
-            spp=spp,
-            max_bounces=max_bounces,
-            background=background,
-            seed=seed,
-            learning_rate=learning_rate,
-            optimizer=optimizer,
-            trainable=trainable,
-            mesh=mesh,
-        )
+        factory = make_train_step
+    step_fn, (params, opt_state) = factory(
+        scene_template,
+        camera,
+        target,
+        spp=spp,
+        max_bounces=max_bounces,
+        background=background,
+        seed=seed,
+        learning_rate=learning_rate,
+        optimizer=optimizer,
+        trainable=trainable,
+        mesh=mesh,
+    )
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         params, opt_state, start = load_checkpoint(checkpoint_path, opt_state)

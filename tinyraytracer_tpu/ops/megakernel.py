@@ -66,8 +66,13 @@ MAX_ROWS_X_TILE = int(_os.environ.get("TINYRT_MAX_ROWS_X_TILE",
 
 def auto_tile_rays(n_rows: int, want: int = 0) -> int:
     """Largest power-of-2 tile in [128, want] with n_rows*tile under the
-    feasibility cap (0 = no feasible tile even at 128 lanes)."""
-    tr = want or TILE_RAYS
+    feasibility cap (0 = no feasible tile even at 128 lanes). `want` is
+    normalized to a power of two >= 128 first, so a non-pow2 or sub-128
+    TINYRT_TILE_RAYS override can't produce a lane-misaligned tile."""
+    want = max(int(want or TILE_RAYS), 128)
+    tr = 128
+    while tr * 2 <= want:
+        tr *= 2
     while tr > 128 and n_rows * tr > MAX_ROWS_X_TILE:
         tr //= 2
     return 0 if n_rows * tr > MAX_ROWS_X_TILE else tr

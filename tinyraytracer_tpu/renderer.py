@@ -100,12 +100,21 @@ class Renderer:
             # Very large scenes exceed the megakernel's VMEM feasibility
             # even at its smallest ray tile — auto falls back to the
             # modular BVH path (the reference's own large-N strategy,
-            # bvh.rs). Row count matches the kernel's candidate matrix:
-            # padded spheres + padded quads.
+            # bvh.rs). Count the rows the kernel actually tests: each
+            # kind's VALID primitives padded to 8 sublanes, absent kinds
+            # compiled out (matches MegakernelRenderer.render /
+            # compact_scene — the SceneArrays' own 128-padding would
+            # overcount and mis-route feasible scenes to the slow path).
+            import numpy as np
+
             from tinyraytracer_tpu.ops.megakernel import auto_tile_rays
 
-            n_rows = scene.sph_center.shape[0] + scene.quad_corner.shape[0]
-            if not auto_tile_rays(n_rows):
+            def pad8(n: int) -> int:
+                return ((n + 7) // 8) * 8 if n else 0
+
+            n_rows = (pad8(int(np.asarray(scene.sph_valid).sum()))
+                      + pad8(int(np.asarray(scene.quad_valid).sum())))
+            if not auto_tile_rays(max(n_rows, 8)):
                 return False
         return True
 
