@@ -87,6 +87,18 @@ _INV_2_24 = float(1.0 / (1 << 24))
 # whole-tile `cond` skips are too expensive relative to the 8-sphere
 # blocks they avoid — so dense is the default and the cull is opt-in only
 # (use_clusters=True), at any sphere count.
+#
+# A fourth culling design was analyzed in round 3 and rejected on paper:
+# per-block FRUSTUM prim subsets for camera rays (host-precomputed, so
+# no in-kernel gathers — each block would read a dense (M << N, fields)
+# slice). It requires splitting primary rays from continuations into two
+# kernel phases, and the continuation phase cannot use per-lane sample
+# regeneration (its next-state loads would be per-lane HBM gathers);
+# lockstep continuations pay the tile-max path (~4.7x the mean for the
+# config-4 sky scene), overwhelming the ~25x bounce-0 saving:
+# 0.37*0.04 + 0.63*4.7 ~= 3x the regen kernel's cost. Per-lane sample
+# regeneration over the dense candidate matrix remains the fastest
+# large-N design measured or modeled on this hardware.
 _CLUSTER_P = 8       # spheres per cluster == compacted sublane group
 
 
