@@ -262,3 +262,37 @@ def test_diff_specialization_and_isect_cache_value_preserving(monkeypatch):
             scale = max(np.abs(a).max(), 1e-8)
             assert np.abs(a - b).max() <= 1e-5 * scale, (
                 k, np.abs(a - b).max(), scale)
+
+
+@pytest.mark.parametrize("fuzz_seed", [3, 17])
+def test_matches_oracle_random_scene(fuzz_seed):
+    """Randomized lit scenes (random prim counts, materials, light
+    placement) — the fused kernel's gradients must match the oracle on
+    arbitrary scene structure, not just the hand-built fixtures. Keeps a
+    quad light so every gradient chain (NEE geometry, soft shadows,
+    silhouettes) is live."""
+    rng = np.random.RandomState(fuzz_seed)
+    w = World()
+    w.add_material("lam", Lambertian(tuple(rng.uniform(0.2, 0.8, 3))))
+    w.add_material("met", Metal(tuple(rng.uniform(0.2, 0.9, 3)),
+                                float(rng.uniform(0.0, 0.6))))
+    w.add_material("glass", Dielectric(tuple(rng.uniform(0.7, 1.0, 3)),
+                                       float(rng.uniform(1.2, 1.9))))
+    w.add_material("lamp", Light(tuple(rng.uniform(4.0, 12.0, 3))))
+    w.add_geometry(Sphere((0.0, -100.5, -1.0), 100.0, "lam"))
+    names = ["lam", "met", "glass"]
+    for _ in range(rng.randint(1, 4)):
+        c = rng.uniform(-1.2, 1.2, 3) * np.array([1, 0.4, 1]) + [0, 0, -1.3]
+        w.add_geometry(Sphere(tuple(c), float(rng.uniform(0.25, 0.55)),
+                              names[rng.randint(3)]))
+    if rng.rand() < 0.5:
+        w.add_geometry(Quad(tuple(rng.uniform(-1.5, 0.5, 3)),
+                            (float(rng.uniform(0.5, 1.5)), 0.0, 0.0),
+                            (0.0, 0.0, float(rng.uniform(0.5, 1.5))),
+                            names[rng.randint(3)]))
+    w.add_geometry(Quad((-1.5, float(rng.uniform(1.5, 2.5)), -2.5),
+                        (3.0, 0.0, 0.0), (0.0, 0.0, 2.0), "lamp"))
+    cam = Camera.new(1.0, 0.0, (0.0, 0.3, 1.0), (0.0, 0.0, -1.0),
+                     (0.0, 1.0, 0.0), 60.0, 24, 16)
+    bg = tuple(rng.uniform(0.02, 0.1, 3))
+    _compare(w.build(), cam, bg, mb=4, rtol=2e-2)
