@@ -59,7 +59,11 @@ PACKED_LANES = int(_os.environ.get("TINYRT_PACKED_LANES", "256"))
 
 # Above this many real primitives the unrolled per-prim loop stops paying
 # (code size grows linearly; the classic candidate matrix already fills
-# sublanes with primitives at that scale).
+# sublanes with primitives at that scale). Measured on v5e (sky-lit
+# random spheres, 400x225 spp=64): packed vs classic is 126.5/123.7
+# Mrays/s at 48 prims, 101.8/100.1 at 96, 66.0/74.5 at 160 — the
+# crossover sits between 96 and 160, so 48 is conservative by ~2% in
+# the 48-96 band; kept for the smaller unrolled code size.
 PACKED_MAX_PRIMS = int(_os.environ.get("TINYRT_PACKED_MAX_PRIMS", "48"))
 
 _SPH_FIELDS = 4     # cx cy cz r2
