@@ -1394,11 +1394,19 @@ def render_value_and_grad(
     if packed is None:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             DIFF_PACKED_MAX_PRIMS,
+            DIFF_PACKED_MAX_SPHERES,
         )
 
         packed = (mesh is not None
                   or not interpret) and (
             len(st.sph_rows) + len(st.quad_rows) <= DIFF_PACKED_MAX_PRIMS)
+        if packed and mesh is None and (
+                len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES):
+            # many-sphere scenes: the packed kernel's per-sphere
+            # surrogate unrolls + scalar-sum tables collapse (see
+            # DIFF_PACKED_MAX_SPHERES); the classic kernel's dense
+            # (ns, TR) surrogate rows scale far better
+            packed = False
     if mesh is not None and not packed:
         raise NotImplementedError(
             "mesh-sharded fused training runs through the packed kernel; "

@@ -88,6 +88,18 @@ DIFF_LANES = int(_os.environ.get("TINYRT_DIFF_LANES", "512"))
 DIFF_PACKED_MAX_PRIMS = int(
     _os.environ.get("TINYRT_DIFF_PACKED_MAX_PRIMS", "48"))
 
+# Separate, tighter bound on REAL SPHERES: the soft-shadow and
+# silhouette surrogates unroll per sphere and their gradients reduce to
+# scalars through per-sphere full-tile sums (sphere_scalar_table) — at
+# 63 spheres the packed kernel measured 13x SLOWER than the classic
+# (whose (ns, TR) surrogate rows scale as dense sublanes): 32.1 s vs
+# 2.4 s per step at 200^2 spp=8 mb=6 on v5e. Auto routing falls back to
+# the classic kernel above this many spheres (mesh-sharded calls keep
+# packed — the classic kernel has no mesh path, and slow beats
+# unavailable).
+DIFF_PACKED_MAX_SPHERES = int(
+    _os.environ.get("TINYRT_DIFF_PACKED_MAX_SPHERES", "16"))
+
 # VMEM budget for the phase-1 intersection cache (winner t / winner row /
 # shadow vis per (sample, bounce)): 3 * spp * mb * S * L * 4 bytes. When
 # it fits ALONGSIDE the kernel's other VMEM residents (reverse-sweep
