@@ -296,3 +296,31 @@ def test_matches_oracle_random_scene(fuzz_seed):
                      (0.0, 1.0, 0.0), 60.0, 24, 16)
     bg = tuple(rng.uniform(0.02, 0.1, 3))
     _compare(w.build(), cam, bg, mb=4, rtol=2e-2)
+
+
+def test_fused_step_material_only_skips_silhouette():
+    """A fit that doesn't train sphere geometry may skip the silhouette
+    surrogate: its gradients land only in the masked-out sphere rows, so
+    the trained parameters must be bit-identical with it on or off."""
+    import optax
+
+    world, cam, kw = presets.cornell_spheres(width=12, height=12)
+    scene = world.build()
+    rng = np.random.RandomState(5)
+    target = rng.rand(12, 12, 3).astype(np.float32) * 0.5
+    common = dict(spp=2, max_bounces=3, background=kw["background"],
+                  seed=3, interpret=True, optimizer=optax.sgd(1e-2),
+                  trainable=("mat_albedo", "mat_emit"))
+    s_auto, (p_a, o_a) = inverse.make_fused_train_step(scene, cam, target,
+                                                       **common)
+    p_a, _, l_a = s_auto(p_a, o_a, 0)
+    # reference: force the surrogate on through the raw kernel call and
+    # a manual sgd application on the same masked fields
+    loss_ref, _img, g_ref = render_value_and_grad(
+        scene, cam, target, spp=2, max_bounces=3,
+        background=kw["background"], seed=3, silhouette=True,
+        interpret=True)
+    assert float(l_a) == float(loss_ref)
+    for k in ("mat_albedo", "mat_emit"):
+        expect = np.asarray(getattr(scene, k)) - 1e-2 * np.asarray(g_ref[k])
+        np.testing.assert_array_equal(np.asarray(p_a[k]), expect)

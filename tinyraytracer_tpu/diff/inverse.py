@@ -415,6 +415,14 @@ def make_fused_train_step(
     if grad_chunks < 1 or spp % grad_chunks:
         raise ValueError(f"grad_chunks={grad_chunks} must divide spp={spp}")
     cspp = spp // grad_chunks
+    # The silhouette surrogate contributes ONLY to the sphere geometry
+    # gradient rows (its cotangents never feed the shared chains —
+    # diffkernel bounce_adj A1). When the fit doesn't train sphere
+    # geometry those rows are masked to zero anyway, so skipping the
+    # surrogate is bit-identical on every used output and drops its
+    # per-sphere unrolled work from the adjoint.
+    sil = trainset is None or bool(
+        {"sph_center", "sph_radius"} & trainset)
 
     @jax.jit
     def step(params, opt_state, step_idx):
@@ -424,7 +432,7 @@ def make_fused_train_step(
             loss, _img, grads = render_value_and_grad(
                 s, camera, target,
                 spp=spp, max_bounces=max_bounces, background=background,
-                seed=seed, spp_offset=base,
+                seed=seed, spp_offset=base, silhouette=sil,
                 interpret=interpret, static=static, mesh=mesh, tile=tile,
             )
         else:
@@ -435,6 +443,7 @@ def make_fused_train_step(
                     spp=cspp, max_bounces=max_bounces,
                     background=background, seed=seed,
                     spp_offset=base + jnp.uint32(c * cspp),
+                    silhouette=sil,
                     interpret=interpret, static=static, mesh=mesh,
                     tile=tile,
                 )
