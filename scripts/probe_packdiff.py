@@ -2,8 +2,11 @@
 config (Cornell 300x300 spp=16 mb=8) and vs the classic diff kernel.
 Mirrors make_fused_train_step's jit pattern (template closed over,
 params traced). (scratch)"""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

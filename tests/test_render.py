@@ -91,3 +91,21 @@ def test_image_save_png(tmp_path):
     loaded = np.asarray(PILImage.open(p))
     assert loaded.shape == (8, 8, 3)
     np.testing.assert_array_equal(loaded, img.to_u8())
+
+
+def test_image_save_native_failure_surfaces(tmp_path, monkeypatch):
+    """A failing native encoder must raise, not silently fall back to PIL
+    (policy of ops/bvh.py:160-164: fallback covers MISSING bits only)."""
+    from tinyraytracer_tpu.native import runtime
+
+    monkeypatch.setattr(runtime, "available", lambda: True)
+
+    def boom(path, rgb):
+        raise RuntimeError("tinyrt_write_png failed: -1")
+
+    monkeypatch.setattr(runtime, "write_png", boom)
+    img = Image.from_linear(np.zeros((4, 4, 3), np.float32))
+    p = tmp_path / "corrupt.png"
+    with pytest.raises(RuntimeError, match="tinyrt_write_png"):
+        img.save(str(p))
+    assert not p.exists()

@@ -54,12 +54,16 @@ def main(argv=None) -> int:
     # the same (scene class, size, spp) skip the 20-40s XLA/Mosaic
     # compile — the reference binary's analog is its ahead-of-time
     # metallib (build.rs). A repo checkout shares bench.py's .jax_cache;
-    # an installed package (read-only site-packages) uses the user cache
-    # dir instead of littering the install tree.
-    repo_cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    if os.access(os.path.dirname(repo_cache), os.W_OK):
-        cache_dir = repo_cache
+    # anything else (pip install into site-packages or a venv) uses the
+    # user cache dir instead of littering the install tree. "Checkout" is
+    # detected explicitly (.git / bench.py next to the package), not by
+    # parent-dir writability — a venv's site-packages is writable too.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    is_checkout = os.path.isdir(os.path.join(repo_root, ".git")) or (
+        os.path.isfile(os.path.join(repo_root, "bench.py"))
+    )
+    if is_checkout and os.access(repo_root, os.W_OK):
+        cache_dir = os.path.join(repo_root, ".jax_cache")
     else:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "tinyraytracer_tpu",

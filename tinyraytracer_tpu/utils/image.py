@@ -49,14 +49,17 @@ class Image:
 
     def save(self, filename: str) -> None:
         rgb = self.to_u8()
+        # Graceful fallback covers a MISSING native encoder only (library
+        # unbuilt / import fails); a runtime error from a present encoder is
+        # a real defect and must surface — same policy as the native BVH
+        # builder (ops/bvh.py:160-164).
         try:
             from tinyraytracer_tpu.native import runtime
-
-            if runtime.available():
-                runtime.write_png(filename, rgb)
-                return
-        except Exception:
-            pass
+        except ImportError:
+            runtime = None
+        if runtime is not None and runtime.available():
+            runtime.write_png(filename, rgb)
+            return
         from PIL import Image as PILImage
 
         PILImage.fromarray(rgb, mode="RGB").save(filename)
