@@ -324,3 +324,59 @@ def test_fused_step_material_only_skips_silhouette():
     for k in ("mat_albedo", "mat_emit"):
         expect = np.asarray(getattr(scene, k)) - 1e-2 * np.asarray(g_ref[k])
         np.testing.assert_array_equal(np.asarray(p_a[k]), expect)
+
+
+def _n_sphere_world(n, with_light=True):
+    w = World()
+    w.add_material("white", Lambertian((0.7, 0.7, 0.7)))
+    if with_light:
+        w.add_material("lamp", Light((8.0, 8.0, 8.0)))
+        w.add_geometry(Quad((-1.0, 2.0, -3.0), (2.0, 0.0, 0.0),
+                            (0.0, 0.0, 2.0), "lamp"))
+    rng = np.random.RandomState(11)
+    for i in range(n):
+        c = rng.uniform(-3.0, 3.0, 3)
+        w.add_geometry(Sphere((float(c[0]), float(c[1]), float(c[2]) - 4.0),
+                              0.3, "white"))
+    cam = Camera.new(1.0, 0.0, (0.0, 0.0, 1.0), (0.0, 0.0, -1.0),
+                     (0.0, 1.0, 0.0), 60.0, 8, 8)
+    return w.build(), cam
+
+
+def test_fused_engine_feasible_matches_routing(monkeypatch):
+    """fused_engine_feasible is the single source of truth: wherever it
+    says False for an unmeshed scene, render_value_and_grad's own routing
+    raises; where it says True, dispatch proceeds (ADVICE r3)."""
+    from tinyraytracer_tpu.ops import megakernel as mk
+    from tinyraytracer_tpu.ops.diffkernel import (
+        build_diff_static, fused_engine_feasible)
+
+    # 20 spheres: over DIFF_PACKED_MAX_SPHERES (auto routes classic),
+    # under DIFF_PACKED_MAX_PRIMS. Shrink the classic VMEM cap so the
+    # classic route is infeasible too.
+    scene, cam = _n_sphere_world(20)
+    st = build_diff_static(scene)
+    monkeypatch.setattr(mk, "MAX_ROWS_X_TILE", 1024)
+    assert not fused_engine_feasible(st, mesh=None)
+    target = np.zeros((8, 8, 3), np.float32)
+    with pytest.raises(ValueError, match="candidate rows"):
+        render_value_and_grad(
+            scene, cam, target, spp=1, max_bounces=1,
+            background=(0.0, 0.0, 0.0), seed=0, static=st)
+
+    # interpret mode has no VMEM constraint: helper says feasible and the
+    # same call runs instead of raising
+    assert fused_engine_feasible(st, mesh=None, interpret=True)
+    loss, img, grads = render_value_and_grad(
+        scene, cam, target, spp=1, max_bounces=1,
+        background=(0.0, 0.0, 0.0), seed=0, static=st, interpret=True)
+    assert np.isfinite(float(loss))
+
+    # mesh-sharded: feasible iff the packed kernel's unroll cap holds
+    from tinyraytracer_tpu.ops.diffkernel_packed import (
+        DIFF_PACKED_MAX_PRIMS)
+    assert len(st.sph_rows) + len(st.quad_rows) <= DIFF_PACKED_MAX_PRIMS
+    assert fused_engine_feasible(st, mesh=object())
+    big, _cam = _n_sphere_world(DIFF_PACKED_MAX_PRIMS + 4)
+    st_big = build_diff_static(big)
+    assert not fused_engine_feasible(st_big, mesh=object())

@@ -567,18 +567,12 @@ def fit(
         use_fused = False
         if jax.devices()[0].platform == "tpu":
             from tinyraytracer_tpu.ops.diffkernel import (
-                TILE, build_diff_static)
-            from tinyraytracer_tpu.ops.diffkernel_packed import (
-                DIFF_PACKED_MAX_PRIMS)
-            from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
+                build_diff_static, fused_engine_feasible)
 
             fused_static = build_diff_static(scene_template)
-            n_real = len(fused_static.sph_rows) + len(fused_static.quad_rows)
-            packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
-            classic_ok = (mesh is None
-                          and (fused_static.ns + fused_static.nq) * TILE
-                          <= MAX_ROWS_X_TILE)
-            use_fused = packed_ok or classic_ok
+            # one shared helper — the probe can never diverge from what
+            # render_value_and_grad's own routing will accept (ADVICE r3)
+            use_fused = fused_engine_feasible(fused_static, mesh=mesh)
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
         factory = functools.partial(make_fused_train_step,

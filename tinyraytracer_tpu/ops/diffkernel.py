@@ -157,6 +157,33 @@ def static_kind_flags(st: DiffStatic):
     return (mat.METAL in used), (mat.DIELECTRIC in used)
 
 
+def fused_engine_feasible(st: DiffStatic, mesh=None,
+                          interpret: bool = False) -> bool:
+    """Single source of truth for "can the fused kernels run this scene".
+
+    Mirrors render_value_and_grad's auto-routing exactly (packed unroll
+    limit, many-sphere packed cutoff, classic VMEM row bound, mesh
+    availability) so callers probing feasibility up front — e.g.
+    diff/inverse.fit(engine='auto') — can never diverge from what the
+    dispatch itself will accept as the limits evolve."""
+    from tinyraytracer_tpu.ops.diffkernel_packed import (
+        DIFF_PACKED_MAX_PRIMS,
+        DIFF_PACKED_MAX_SPHERES,
+    )
+    from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
+
+    n_real = len(st.sph_rows) + len(st.quad_rows)
+    packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
+    # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
+    classic_ok = interpret or (st.ns + st.nq) * TILE <= MAX_ROWS_X_TILE
+    if mesh is not None:
+        # mesh-sharded fused runs go through the packed kernel only
+        return packed_ok
+    if packed_ok and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
+        packed_ok = False       # auto would route classic: check its bound
+    return packed_ok or classic_ok
+
+
 def diff_tables(scene: SceneArrays, st: DiffStatic):
     """jit-safe device tables from (possibly traced) scene parameters."""
     ns, nq, na = st.ns, st.nq, st.ns + st.nq
@@ -1412,7 +1439,10 @@ def render_value_and_grad(
             "mesh-sharded fused training runs through the packed kernel; "
             "this scene exceeds its unroll limit — use the modular "
             "make_train_step(mesh=...) path instead")
-    if not packed:
+    if not packed and not interpret:
+        # interpret mode runs on the host with no VMEM constraint — the
+        # feasibility raise would block large-scene CPU testing for no
+        # physical reason (ADVICE r3)
         from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
 
         n_rows = st.ns + st.nq

@@ -115,11 +115,16 @@ DIFF_VMEM_LIMIT = int(
 
 def _non_cache_vmem_bytes(mb: int, s: int, l: int) -> int:
     """Rough upper bound on the kernel's VMEM residents other than the
-    intersection cache: the reverse sweep's 14-array-per-bounce saves,
-    ~90 live (S, L) shade intermediates, and 10 (S, L) I/O blocks.
-    Deliberately generous — the check only decides cache on/off."""
+    intersection cache: the reverse sweep's per-bounce saves (the
+    `saves.append((st, best_t, rowf, vis))` tuple in phase 3: 11 state
+    rows + 3), ~90 live (S, L) shade intermediates, and 10 (S, L) I/O
+    blocks, plus 25% headroom so modest kernel growth degrades to a
+    graceful cache-off fallback instead of a compile failure. If the
+    save tuple or the shade dict grows materially, update the counts
+    here (the check only decides cache on/off, so over-counting merely
+    disables the cache early)."""
     lane_bytes = s * l * 4
-    return (14 * mb + 90 + 10) * lane_bytes
+    return ((14 * mb + 90 + 10) * lane_bytes * 5) // 4
 
 # Per-prim SMEM blocks. Geometry intersection fields first, then the
 # differentiable raw fields and the material block the winner-field
@@ -1444,6 +1449,8 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                     g = shade(sample_id, jnp.uint32(b), st, best_t, rowf,
                               lite=True)
                     vis = shadow_vis(g)
+                # VMEM accounting: this tuple's size (11 state rows + 3)
+                # is mirrored in _non_cache_vmem_bytes — update both
                 saves.append((st, best_t, rowf, vis))
                 st = advance(g, st)
             co = (zeros_,) * 9
