@@ -172,15 +172,13 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     )
     from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
 
+    del mesh  # both kernels shard the same way; limits are per-device
     n_real = len(st.sph_rows) + len(st.quad_rows)
     packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
-    # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
-    classic_ok = interpret or (st.ns + st.nq) * TILE <= MAX_ROWS_X_TILE
-    if mesh is not None:
-        # mesh-sharded fused runs go through the packed kernel only
-        return packed_ok
     if packed_ok and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
         packed_ok = False       # auto would route classic: check its bound
+    # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
+    classic_ok = interpret or (st.ns + st.nq) * TILE <= MAX_ROWS_X_TILE
     return packed_ok or classic_ok
 
 
@@ -286,7 +284,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def kernel(cam_ref, ctl_ref, pid_ref, px_ref, py_ref, tgt_ref,
+    def kernel(cam_ref, ctl_ref, pid_ref, px_ref, py_ref, wgt_ref, tgt_ref,
                sphc_ref, sphr_ref, qc_ref, qu_ref, qv_ref, pay_ref, lpay_ref,
                img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref):
         tr = pid_ref.shape[1]
@@ -1240,9 +1238,12 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         img_ref[2:3, :] = img_b
 
         # ============== phase 2: local loss cotangent =================
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tr), 1)
-        gidx = (pl.program_id(0) * tr + lane).astype(jnp.float32)
-        wgt = (gidx < npixf).astype(jnp.float32)
+        # per-lane weight (1 = real pixel, 0 = clamped pad duplicate)
+        # arrives as an input row rather than being derived from
+        # program_id: under a mesh shard_map the grid is LOCAL to the
+        # device, so a program_id-based global lane index would be wrong
+        # on every shard but the first
+        wgt = wgt_ref[0:1, :]
         dr_ = img_r - tgt_ref[0:1, :]
         dg_ = img_g - tgt_ref[1:2, :]
         db_ = img_b - tgt_ref[2:3, :]
@@ -1329,14 +1330,12 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
     return kernel
 
 
-def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
-               width, height, n_lights, nm, nee, sil, interpret,
+def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
+               spp, max_bounces, n_lights, nm, nee, sil, interpret,
                has_met=True, has_die=True):
-    from tinyraytracer_tpu.ops.megakernel import _pixel_arrays
-
-    npix = width * height
-    rp = ((npix + TILE - 1) // TILE) * TILE
-    pid, px, py = _pixel_arrays(width, height, rp)
+    """One pallas launch over the given lane arrays (possibly a mesh
+    shard's slice — the grid is sized from the LOCAL lane count)."""
+    rp = pid.shape[1]
     ns = tables["sph_c"].shape[0]
     nq = tables["quad_c"].shape[0]
     nl = tables["light_pay"].shape[1]
@@ -1350,6 +1349,7 @@ def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
         in_specs=[
             pl.BlockSpec((1, 32), const, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
@@ -1374,7 +1374,7 @@ def _diff_call(tables, cam_vec, ctl, tgt_cols, *, spp, max_bounces,
         ],
         interpret=interpret,
     )(
-        cam_vec, ctl, pid, px, py, tgt_cols,
+        cam_vec, ctl, pid, px, py, wgt, tgt_cols,
         tables["sph_c"], tables["sph_r"], tables["quad_c"],
         tables["quad_u"], tables["quad_v"], tables["pay"],
         tables["light_pay"],
@@ -1414,6 +1414,13 @@ def render_value_and_grad(
     for compiled runs on scenes small enough to unroll, this classic
     candidate-matrix kernel otherwise (and under interpret, where the
     packed kernel's unrolled select chains trace slowly).
+
+    mesh: optional jax.sharding.Mesh — data-parallel fused training on
+    either kernel: pixel-tile lanes shard over every mesh device and the
+    parameter-gradient tables (plus the in-kernel MSE partial) psum over
+    the mesh. Gradients match single-device up to collective summation
+    order; many-sphere scenes keep the classic kernel's flat (ns, TR)
+    scaling under a mesh instead of falling back to packed unrolls.
     """
     if static is None:
         static = build_diff_static(scene)
@@ -1424,21 +1431,16 @@ def render_value_and_grad(
             DIFF_PACKED_MAX_SPHERES,
         )
 
-        packed = (mesh is not None
-                  or not interpret) and (
+        packed = (not interpret) and (
             len(st.sph_rows) + len(st.quad_rows) <= DIFF_PACKED_MAX_PRIMS)
-        if packed and mesh is None and (
-                len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES):
+        if packed and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
             # many-sphere scenes: the packed kernel's per-sphere
             # surrogate unrolls + scalar-sum tables collapse (see
             # DIFF_PACKED_MAX_SPHERES); the classic kernel's dense
-            # (ns, TR) surrogate rows scale far better
+            # (ns, TR) surrogate rows scale far better — and has its own
+            # mesh path, so mesh-sharded fits are no longer pinned to
+            # the packed kernel
             packed = False
-    if mesh is not None and not packed:
-        raise NotImplementedError(
-            "mesh-sharded fused training runs through the packed kernel; "
-            "this scene exceeds its unroll limit — use the modular "
-            "make_train_step(mesh=...) path instead")
     if not packed and not interpret:
         # interpret mode runs on the host with no VMEM constraint — the
         # feasibility raise would block large-scene CPU testing for no
@@ -1463,6 +1465,8 @@ def render_value_and_grad(
             nee=nee, silhouette=silhouette, interpret=interpret,
             static=static, mesh=mesh, tile=tile,
         )
+    from tinyraytracer_tpu.ops.megakernel import _pixel_arrays
+
     w, h = camera.width, camera.height
     npix = w * h
     cam_vec = _camera_vector(camera, background)
@@ -1471,19 +1475,52 @@ def render_value_and_grad(
     ctl = ctl.at[0, 0].set(jnp.asarray(seed, jnp.uint32).astype(jnp.int32))
     ctl = ctl.at[0, 1].set(
         jnp.asarray(spp_offset, jnp.uint32).astype(jnp.int32))
-    rp = ((npix + TILE - 1) // TILE) * TILE
+    # rays pad to a whole number of tiles PER MESH DEVICE so the lane
+    # axis shards evenly (pads clamp to the last pixel and carry weight 0
+    # — rendered but excluded from loss/gradients, like single-device)
+    n_shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    chunk = TILE * n_shards
+    rp = ((npix + chunk - 1) // chunk) * chunk
+    pid, px, py = _pixel_arrays(w, h, rp)
+    wgt = (jnp.arange(rp) < npix).astype(jnp.float32).reshape(1, rp)
     tgt = jnp.asarray(target, jnp.float32).reshape(-1, 3)
     pad_ids = jnp.minimum(jnp.arange(rp), npix - 1)
     tgt_cols = jnp.take(tgt, pad_ids, axis=0).T          # (3, rp)
 
     tables = diff_tables(scene, st)
     has_met, has_die = static_kind_flags(st)
-    img_cols, dsph, dquad, dmat, dlight, dmisc = _diff_call(
-        tables, cam_vec, ctl, tgt_cols,
-        spp=spp, max_bounces=max_bounces, width=w, height=h,
+    call = functools.partial(
+        _diff_call, spp=spp, max_bounces=max_bounces,
         n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
-        interpret=interpret, has_met=has_met, has_die=has_die,
-    )
+        interpret=interpret, has_met=has_met, has_die=has_die)
+    if mesh is None:
+        img_cols, dsph, dquad, dmat, dlight, dmisc = call(
+            tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols)
+    else:
+        # data-parallel over pixel-tile lanes: every device runs the same
+        # kernel on its lane shard against replicated scene tables; the
+        # parameter-gradient tables (and the in-kernel MSE partial in
+        # dmisc) psum over the whole mesh — identical construction to the
+        # packed kernel's mesh path (render_value_and_grad_packed)
+        from jax.sharding import PartitionSpec as P
+
+        axes = tuple(mesh.shape.keys())
+
+        def body(tables_, cam_v, ctl_v, pid_a, px_a, py_a, wgt_a, tgt_a):
+            outs = call(tables_, cam_v, ctl_v, pid_a, px_a, py_a, wgt_a,
+                        tgt_a)
+            img_c, *tabs = outs
+            tabs = [jax.lax.psum(t, axes) for t in tabs]
+            return (img_c, *tabs)
+
+        shard = P(None, axes)   # lane blocks split over the whole mesh
+        img_cols, dsph, dquad, dmat, dlight, dmisc = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), shard, shard, shard, shard, shard),
+            out_specs=(shard, P(), P(), P(), P(), P()),
+            check_vma=False,
+        )(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols)
     img = img_cols[:, :npix].T.reshape(h, w, 3)
     # Loss comes out of the kernel (dmisc[0, 3]), not a post-kernel
     # mean((img - target)**2): under jit on TPU a fused consumer of the
