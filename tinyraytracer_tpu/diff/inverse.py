@@ -572,7 +572,8 @@ def fit(
             fused_static = build_diff_static(scene_template)
             # one shared helper — the probe can never diverge from what
             # render_value_and_grad's own routing will accept (ADVICE r3)
-            use_fused = fused_engine_feasible(fused_static, mesh=mesh)
+            use_fused = fused_engine_feasible(
+                fused_static, mesh=mesh, max_bounces=max_bounces)
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
         factory = functools.partial(make_fused_train_step,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -157,20 +158,68 @@ def static_kind_flags(st: DiffStatic):
     return (mat.METAL in used), (mat.DIELECTRIC in used)
 
 
+# Scoped-VMEM acceptance for the classic kernel's auto tile sizing: v5e's
+# scoped limit is 16.00 MB (Mosaic's own error reports); accept a config
+# when the model's prediction x safety margin stays under it.
+_SCOPED_LIMIT = 15.75e6
+_SCOPED_SAFETY = 1.05
+
+
+def _classic_scoped_bytes(mb: int, n_rows: int, tr: int) -> int:
+    """Predicted scoped-VMEM bytes of one classic-kernel grid step.
+
+    Least-squares model over {1, mb, rows, mb·rows} x {1, tr} calibrated
+    against Mosaic's OWN scoped-size reports on v5e (max rel err 8.3%
+    over an 18-point (tr, mb, rows) grid; scripts/probe_diff_vmem.py —
+    a 1 MB TINYRT_DIFF_VMEM_CAP makes every compile fail with the true
+    size in the error). Dominant term: the unrolled reverse sweep keeps
+    ~14 dense (n_rows, tr) surrogate-adjoint matrices live per bounce."""
+    m, r, t = float(mb), float(n_rows), float(tr)
+    return int(
+        -375429.0 + 13618.5 * m + 25811.2 * r + 465.6 * m * r
+        + 1462.0 * t + 2175.3 * m * t + 23.97 * r * t + 14.21 * m * r * t
+    )
+
+
+def _classic_tile(mb: int, n_rows: int, tile=None) -> int:
+    """Lane-tile width for the classic kernel, or 0 if no width fits.
+
+    256 lanes is the VPU sweet spot (diffkernel TILE); large
+    (rows x bounces) reverse sweeps halve it to 128 when the predicted
+    scoped VMEM would bust the 16 MB limit. 128 is the floor — Mosaic
+    pads the lane axis to 128, so smaller tiles save nothing. An
+    explicit `tile` int (or TINYRT_DIFF_TILE) overrides the model; use
+    it to push borderline configs the model rejects by <10%."""
+    if tile is not None:
+        return int(tile[-1]) if isinstance(tile, (tuple, list)) else int(tile)
+    env = _os.environ.get("TINYRT_DIFF_TILE")
+    if env:
+        return int(env)
+    for tr in (256, 128):
+        if _classic_scoped_bytes(mb, n_rows, tr) * _SCOPED_SAFETY \
+                <= _SCOPED_LIMIT:
+            return tr
+    return 0
+
+
 def fused_engine_feasible(st: DiffStatic, mesh=None,
-                          interpret: bool = False) -> bool:
+                          interpret: bool = False,
+                          max_bounces: int | None = None) -> bool:
     """Single source of truth for "can the fused kernels run this scene".
 
     Mirrors render_value_and_grad's auto-routing exactly (packed unroll
-    limit, many-sphere packed cutoff, classic VMEM row bound, mesh
+    limit, many-sphere packed cutoff, classic VMEM tile model, mesh
     availability) so callers probing feasibility up front — e.g.
     diff/inverse.fit(engine='auto') — can never diverge from what the
-    dispatch itself will accept as the limits evolve."""
+    dispatch itself will accept as the limits evolve.
+
+    max_bounces: bounce depth of the intended fit — the classic kernel's
+    VMEM need scales with it. None = assume the reference default (20),
+    the conservative end of every BASELINE config."""
     from tinyraytracer_tpu.ops.diffkernel_packed import (
         DIFF_PACKED_MAX_PRIMS,
         DIFF_PACKED_MAX_SPHERES,
     )
-    from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
 
     del mesh  # both kernels shard the same way; limits are per-device
     n_real = len(st.sph_rows) + len(st.quad_rows)
@@ -178,7 +227,8 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     if packed_ok and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
         packed_ok = False       # auto would route classic: check its bound
     # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
-    classic_ok = interpret or (st.ns + st.nq) * TILE <= MAX_ROWS_X_TILE
+    classic_ok = interpret or _classic_tile(
+        20 if max_bounces is None else max_bounces, st.ns + st.nq) > 0
     return packed_ok or classic_ok
 
 
@@ -850,7 +900,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             csr = cr_abs * jnp.sign(sr)
             return cscx, cscy, cscz, csr
 
-        ones_1tr = jnp.ones((1, TILE), jnp.float32)
+        ones_1tr = jnp.ones((1, tr), jnp.float32)
 
         def bounce_adj(sample_id, b_py, st, best_t, rowf, vis, g,
                        cin, chat):
@@ -970,10 +1020,10 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
             # ---- A4 NEE -----------------------------------------------
             zr = jnp.zeros_like(hlf)
-            cscx_all = jnp.zeros((ns, TILE), jnp.float32)
-            cscy_all = jnp.zeros((ns, TILE), jnp.float32)
-            cscz_all = jnp.zeros((ns, TILE), jnp.float32)
-            csr_all = jnp.zeros((ns, TILE), jnp.float32)
+            cscx_all = jnp.zeros((ns, tr), jnp.float32)
+            cscy_all = jnp.zeros((ns, tr), jnp.float32)
+            cscz_all = jnp.zeros((ns, tr), jnp.float32)
+            csr_all = jnp.zeros((ns, tr), jnp.float32)
             Gl = None
             lone = None
             if nee and n_lights > 0:
@@ -1332,9 +1382,13 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
 def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
                spp, max_bounces, n_lights, nm, nee, sil, interpret,
-               has_met=True, has_die=True):
+               has_met=True, has_die=True, tr=TILE):
     """One pallas launch over the given lane arrays (possibly a mesh
-    shard's slice — the grid is sized from the LOCAL lane count)."""
+    shard's slice — the grid is sized from the LOCAL lane count).
+
+    tr: rays per tile (lane width of every per-ray row). 256 is the
+    VPU sweet spot; large (rows x bounces) scenes shrink it to fit the
+    reverse sweep in the ~16 MB scoped VMEM (see _classic_tile)."""
     rp = pid.shape[1]
     ns = tables["sph_c"].shape[0]
     nq = tables["quad_c"].shape[0]
@@ -1345,19 +1399,19 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
     const = lambda i: (0, 0)
     outs = pl.pallas_call(
         kernel,
-        grid=(rp // TILE,),
+        grid=(rp // tr,),
         in_specs=[
             pl.BlockSpec((1, 32), const, memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), tile, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), tile, memory_space=pltpu.VMEM),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
         out_specs=[
-            pl.BlockSpec((3, TILE), tile, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tr), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((ns, 8), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((nq, 16), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((nm, 8), const, memory_space=pltpu.VMEM),
@@ -1373,6 +1427,15 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
+        # TINYRT_DIFF_VMEM_CAP (bytes): calibration hook — setting a tiny
+        # cap makes every compile fail with the kernel's TRUE scoped-VMEM
+        # size in the error, which is how _classic_tile's model was fit
+        # (scripts/probe_diff_vmem.py). Unset in production.
+        **(
+            {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=int(_os.environ["TINYRT_DIFF_VMEM_CAP"]))}
+            if _os.environ.get("TINYRT_DIFF_VMEM_CAP") else {}
+        ),
     )(
         cam_vec, ctl, pid, px, py, wgt, tgt_cols,
         tables["sph_c"], tables["sph_r"], tables["quad_c"],
@@ -1421,6 +1484,11 @@ def render_value_and_grad(
     the mesh. Gradients match single-device up to collective summation
     order; many-sphere scenes keep the classic kernel's flat (ns, TR)
     scaling under a mesh instead of falling back to packed unrolls.
+
+    tile: kernel tile override. For the packed kernel a (sublanes,
+    lanes) tuple; for this classic kernel an int lane width (rays per
+    grid step). None = auto: 256 lanes, halved by _classic_tile until
+    the reverse sweep's predicted scoped VMEM fits.
     """
     if static is None:
         static = build_diff_static(scene)
@@ -1441,19 +1509,24 @@ def render_value_and_grad(
             # mesh path, so mesh-sharded fits are no longer pinned to
             # the packed kernel
             packed = False
-    if not packed and not interpret:
-        # interpret mode runs on the host with no VMEM constraint — the
-        # feasibility raise would block large-scene CPU testing for no
-        # physical reason (ADVICE r3)
-        from tinyraytracer_tpu.ops.megakernel import MAX_ROWS_X_TILE
-
-        n_rows = st.ns + st.nq
-        if n_rows * TILE > MAX_ROWS_X_TILE:
-            raise ValueError(
-                f"scene has {n_rows} candidate rows — beyond the fused "
-                "diff kernel's VMEM feasibility (see "
-                "megakernel.MAX_ROWS_X_TILE); use the modular "
-                "make_train_step path for scenes this large")
+    tr = TILE
+    if not packed:
+        if interpret:
+            # the host interpreter has no VMEM constraint (ADVICE r3):
+            # keep the default tile unless the caller pinned one
+            if tile is not None:
+                tr = _classic_tile(max_bounces, st.ns + st.nq, tile)
+        else:
+            tr = _classic_tile(max_bounces, st.ns + st.nq, tile)
+            if not tr:
+                n_rows = st.ns + st.nq
+                raise ValueError(
+                    f"scene has {n_rows} candidate rows at "
+                    f"max_bounces={max_bounces} — beyond the fused diff "
+                    "kernel's VMEM feasibility even at a 128-lane tile "
+                    "(_classic_scoped_bytes); pass tile=128 to force a "
+                    "borderline config, or use the modular "
+                    "make_train_step path for scenes this large")
     if packed:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             render_value_and_grad_packed,
@@ -1479,7 +1552,7 @@ def render_value_and_grad(
     # axis shards evenly (pads clamp to the last pixel and carry weight 0
     # — rendered but excluded from loss/gradients, like single-device)
     n_shards = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
-    chunk = TILE * n_shards
+    chunk = tr * n_shards
     rp = ((npix + chunk - 1) // chunk) * chunk
     pid, px, py = _pixel_arrays(w, h, rp)
     wgt = (jnp.arange(rp) < npix).astype(jnp.float32).reshape(1, rp)
@@ -1492,7 +1565,7 @@ def render_value_and_grad(
     call = functools.partial(
         _diff_call, spp=spp, max_bounces=max_bounces,
         n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
-        interpret=interpret, has_met=has_met, has_die=has_die)
+        interpret=interpret, has_met=has_met, has_die=has_die, tr=tr)
     if mesh is None:
         img_cols, dsph, dquad, dmat, dlight, dmisc = call(
             tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols)

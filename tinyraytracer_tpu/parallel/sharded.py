@@ -116,6 +116,11 @@ def _render_flat_sharded(
         )
         # Mean of per-shard means over equal shards == global mean
         # (the Imager's ·1/spp accumulation, renderer/imager.rs:46-51).
+        # Skip the collective outright on a trivial sample axis so a
+        # tile-only mesh compiles to ZERO cross-chip traffic
+        # (tests/test_scaling_evidence.py pins this).
+        if n_sample == 1:
+            return img
         return jax.lax.pmean(img, SAMPLE_AXIS)
 
     # check_vma=False: the trace's scan carries start as unvarying constants
