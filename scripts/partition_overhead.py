@@ -62,14 +62,17 @@ def main():
     st = build_diff_static(scene)
     target = jnp.zeros((H, W, 3), jnp.float32)
 
-    def step(m):
-        loss, _img, g = render_value_and_grad(
-            scene, camera, target, spp=SPP, max_bounces=mb,
-            background=kw["background"], seed=0, static=st, mesh=m)
-        return loss, g
+    def make_step(m):
+        @jax.jit
+        def step():
+            loss, _img, g = render_value_and_grad(
+                scene, camera, target, spp=SPP, max_bounces=mb,
+                background=kw["background"], seed=0, static=st, mesh=m)
+            return loss, g
+        return step
 
-    t_un = best(lambda: step(None))
-    t_sh = best(lambda: step(mesh))
+    t_un = best(make_step(None))
+    t_sh = best(make_step(mesh))
     results["fused_train_step"] = (t_un, t_sh)
 
     for name, (tu, ts_) in results.items():

@@ -377,11 +377,19 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         bvx, bvy, bvz = bvx * inv_nn, bvy * inv_nn, bvz * inv_nn
         qcb = dot3(bvx, bvy, bvz, qcx, qcy, qcz)
 
+        # w = n/(n.n) as explicit columns: the quad surrogate adjoints
+        # (silhouette edges + NEE soft shadow) differentiate through it
+        wqvec_x = qnx * inv_nn
+        wqvec_y = qny * inv_nn
+        wqvec_z = qnz * inv_nn
+
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (na, tr), 0)
         srow_ids = jax.lax.broadcasted_iota(jnp.int32, (ns, tr), 0)
+        qrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, tr), 0)
         mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nm, tr), 0)
         lrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nl, tr), 0)
         sval = (scx < 1e29).astype(jnp.float32)          # (ns,1) real spheres
+        qval = (qcx < 1e29).astype(jnp.float32)          # (nq,1) real quads
 
         def closest_hit(ox, oy, oz, dx, dy, dz):
             """-> best_t (1,TR), row i32 (1,TR), hit bool (1,TR)."""
@@ -900,6 +908,168 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             csr = cr_abs * jnp.sign(sr)
             return cscx, cscy, cscz, csr
 
+        # ---- quad boundary surrogates (round-4: VERDICT r3 #2) --------
+        # The quad analog of the sphere circle silhouette: soft coverage
+        # on the four [0,1) planar-coordinate edges of the segment's
+        # plane crossing (ops/trace.py _silhouette_factor quad branch /
+        # _nee_contribution quad soft-shadow). Forward factors are
+        # exactly 1 (value-preserving ratios), so only the adjoint runs
+        # in-kernel. Everything is (nq, TR) dense rows.
+        WQE = 0.05     # edge softness, fraction of each edge length
+
+        def quad_cov_fwd(ax, ay, az, bx_, by_, bz_):
+            """Plane crossing tpar = (n.c - n.a)/(n.b) + soft edge
+            coverage of the segment a + t*b against every quad."""
+            den = qnx * bx_ + qny * by_ + qnz * bz_
+            den_ok = jnp.abs(den) > 1e-8
+            dsafe = jnp.where(den_ok, den, 1.0)
+            tpar = (qdp - (qnx * ax + qny * ay + qnz * az)) / dsafe
+            prx = ax + tpar * bx_ - qcx
+            pry = ay + tpar * by_ - qcy
+            prz = az + tpar * bz_ - qcz
+            al = ((pry * qvz - prz * qvy) * wqvec_x
+                  + (prz * qvx - prx * qvz) * wqvec_y
+                  + (prx * qvy - pry * qvx) * wqvec_z)
+            be = ((quy * prz - quz * pry) * wqvec_x
+                  + (quz * prx - qux * prz) * wqvec_y
+                  + (qux * pry - quy * prx) * wqvec_z)
+            s1 = jax.nn.sigmoid(al * (1.0 / WQE))
+            s2 = jax.nn.sigmoid((1.0 - al) * (1.0 / WQE))
+            s3 = jax.nn.sigmoid(be * (1.0 / WQE))
+            s4 = jax.nn.sigmoid((1.0 - be) * (1.0 / WQE))
+            cov = s1 * s2 * s3 * s4
+            return dict(den_ok=den_ok, dsafe=dsafe, tpar=tpar,
+                        prx=prx, pry=pry, prz=prz,
+                        s1=s1, s2=s2, s3=s3, s4=s4, cov=cov)
+
+        def quad_cov_adj(qf, ccov, ax, ay, az, bx_, by_, bz_):
+            """VJP of quad_cov_fwd's coverage: ccov (nq,TR) -> 9 quad
+            grads (nq,TR) + segment origin/direction cotangents (1,TR).
+
+            Chain: cov -> (alpha, beta) -> (pr, w(u,v), u, v) -> tpar ->
+            (n(u,v), corner). d cov/d alpha = cov (s2 - s1)/WQE (the
+            sigmoid-product log-derivative)."""
+            prx, pry, prz = qf["prx"], qf["pry"], qf["prz"]
+            tpar, dsafe = qf["tpar"], qf["dsafe"]
+            s1, s2, s3, s4 = qf["s1"], qf["s2"], qf["s3"], qf["s4"]
+            cov = qf["cov"]
+            cal = ccov * cov * (s2 - s1) * (1.0 / WQE)
+            cbe = ccov * cov * (s4 - s3) * (1.0 / WQE)
+            # al = (pr x v).w : d/dpr = v x w ; d/dv = w x pr ; d/dw = pr x v
+            vxw_x, vxw_y, vxw_z = cross3(
+                qvx, qvy, qvz, wqvec_x, wqvec_y, wqvec_z)
+            wxp_x, wxp_y, wxp_z = cross3(
+                wqvec_x, wqvec_y, wqvec_z, prx, pry, prz)
+            pxv_x, pxv_y, pxv_z = cross3(prx, pry, prz, qvx, qvy, qvz)
+            cprx = cal * vxw_x
+            cpry = cal * vxw_y
+            cprz = cal * vxw_z
+            cqv_x = cal * wxp_x
+            cqv_y = cal * wxp_y
+            cqv_z = cal * wxp_z
+            cwx = cal * pxv_x
+            cwy = cal * pxv_y
+            cwz = cal * pxv_z
+            # be = (u x pr).w : d/dpr = w x u ; d/du = pr x w ; d/dw = u x pr
+            wxu_x, wxu_y, wxu_z = cross3(
+                wqvec_x, wqvec_y, wqvec_z, qux, quy, quz)
+            pxw_x, pxw_y, pxw_z = cross3(
+                prx, pry, prz, wqvec_x, wqvec_y, wqvec_z)
+            uxp_x, uxp_y, uxp_z = cross3(qux, quy, quz, prx, pry, prz)
+            cprx = cprx + cbe * wxu_x
+            cpry = cpry + cbe * wxu_y
+            cprz = cprz + cbe * wxu_z
+            cqu_x = cbe * pxw_x
+            cqu_y = cbe * pxw_y
+            cqu_z = cbe * pxw_z
+            cwx = cwx + cbe * uxp_x
+            cwy = cwy + cbe * uxp_y
+            cwz = cwz + cbe * uxp_z
+            # w = n * inv_nn : cn = cw*inv_nn - 2 w (w.cw)
+            wdc = wqvec_x * cwx + wqvec_y * cwy + wqvec_z * cwz
+            cnx_ = cwx * inv_nn - 2.0 * wqvec_x * wdc
+            cny_ = cwy * inv_nn - 2.0 * wqvec_y * wdc
+            cnz_ = cwz * inv_nn - 2.0 * wqvec_z * wdc
+            # pr = a + tpar*b - c
+            denf = qf["den_ok"].astype(jnp.float32)
+            ctp = (cprx * bx_ + cpry * by_ + cprz * bz_) * denf
+            cqc_x = -cprx
+            cqc_y = -cpry
+            cqc_z = -cprz
+            # tpar = N/D, N = n.(c - a), D = n.b
+            cN = ctp / dsafe
+            cD = -ctp * tpar / dsafe
+            cnx_ = cnx_ + cN * (qcx - ax) + cD * bx_
+            cny_ = cny_ + cN * (qcy - ay) + cD * by_
+            cnz_ = cnz_ + cN * (qcz - az) + cD * bz_
+            cqc_x = cqc_x + cN * qnx
+            cqc_y = cqc_y + cN * qny
+            cqc_z = cqc_z + cN * qnz
+            # n = u x v : cu += v x cn ; cv += cn x u
+            t1x, t1y, t1z = cross3(qvx, qvy, qvz, cnx_, cny_, cnz_)
+            cqu_x = cqu_x + t1x
+            cqu_y = cqu_y + t1y
+            cqu_z = cqu_z + t1z
+            t2x, t2y, t2z = cross3(cnx_, cny_, cnz_, qux, quy, quz)
+            cqv_x = cqv_x + t2x
+            cqv_y = cqv_y + t2y
+            cqv_z = cqv_z + t2z
+            ca_x = jnp.sum(cprx - cN * qnx, axis=0, keepdims=True)
+            ca_y = jnp.sum(cpry - cN * qny, axis=0, keepdims=True)
+            ca_z = jnp.sum(cprz - cN * qnz, axis=0, keepdims=True)
+            cb_x = jnp.sum(cprx * tpar + cD * qnx, axis=0, keepdims=True)
+            cb_y = jnp.sum(cpry * tpar + cD * qny, axis=0, keepdims=True)
+            cb_z = jnp.sum(cprz * tpar + cD * qnz, axis=0, keepdims=True)
+            return (cqc_x, cqc_y, cqc_z, cqu_x, cqu_y, cqu_z,
+                    cqv_x, cqv_y, cqv_z, ca_x, ca_y, ca_z, cb_x, cb_y, cb_z)
+
+        def quad_silhouette_adj(st, best_t, rowf, cF):
+            """VJP of the quad-edge silhouette factor wrt corner/u/v.
+            cF (1,TR) is the factor cotangent; rays and winner t are
+            detached (ops/trace.py _silhouette_factor quad branch)."""
+            (ox, oy, oz, dx, dy, dz, _tr, _tg, _tb, alive_f, _pd) = st
+            hit = best_t < _MISS
+            t_lim = jnp.where(hit, best_t, 3.0e30)
+            qf = quad_cov_fwd(ox, oy, oz, dx, dy, dz)
+            wq_win = ((rowf.astype(jnp.int32) - ns) == qrow_ids) & hit
+            gate = (qf["den_ok"] & (qf["tpar"] > _T_MIN)
+                    & (qf["tpar"] < t_lim)).astype(jnp.float32)
+            live = (qval > 0.5) & (alive_f > 0.5)
+            p = jnp.where(wq_win, qf["cov"], 1.0 - gate * qf["cov"])
+            p = jnp.where(live, p, 1.0)
+            pc = jnp.maximum(p, 1e-3)
+            cp = cF / pc
+            sgn_ev = jnp.where(wq_win, 1.0, -gate)
+            ccov = jnp.where(live, cp * sgn_ev, 0.0)
+            return quad_cov_adj(qf, ccov, ox, oy, oz, dx, dy, dz)[:9]
+
+        def quad_softshadow_fwd(g):
+            """Quad soft-visibility intermediates, (nq, TR) oriented."""
+            nv = g["nee_vals"]
+            qf = quad_cov_fwd(g["p_x"], g["p_y"], g["p_z"],
+                              nv["wlx"], nv["wly"], nv["wlz"])
+            # hard, detached in-range gate; the sampled light's own plane
+            # sits at tpar = dist and is excluded by the 1e-3 slack
+            gate = (qf["den_ok"] & (qf["tpar"] > 1e-3)
+                    & (qf["tpar"] < nv["dist"] * (1.0 - 1e-3))
+                    ).astype(jnp.float32)
+            vq_raw = 1.0 - gate * qf["cov"]
+            vq = jnp.where(qval > 0.5, jnp.maximum(vq_raw, 1e-3), 1.0)
+            v = jnp.exp(jnp.sum(jnp.log(jnp.maximum(vq, 1e-30)),
+                                axis=0, keepdims=True))
+            qf.update(gate=gate, vq_raw=vq_raw, vq=vq, v=v)
+            return qf
+
+        def quad_softshadow_adj(qs, cv, g):
+            """VJP of the quad soft-visibility product: cv (1,TR) ->
+            9 quad grads (nq,TR) + (cpx, cpy, cpz, cwlx, cwly, cwlz)."""
+            nv = g["nee_vals"]
+            cvq = cv * qs["v"] / jnp.maximum(qs["vq"], 1e-6)
+            cvq = jnp.where((qval > 0.5) & (qs["vq_raw"] > 1e-3), cvq, 0.0)
+            ccov = -qs["gate"] * cvq
+            return quad_cov_adj(qs, ccov, g["p_x"], g["p_y"], g["p_z"],
+                                nv["wlx"], nv["wly"], nv["wlz"])
+
         ones_1tr = jnp.ones((1, tr), jnp.float32)
 
         def bounce_adj(sample_id, b_py, st, best_t, rowf, vis, g,
@@ -1024,6 +1194,8 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             cscy_all = jnp.zeros((ns, tr), jnp.float32)
             cscz_all = jnp.zeros((ns, tr), jnp.float32)
             csr_all = jnp.zeros((ns, tr), jnp.float32)
+            # dense quad surrogate grads (edge silhouette + soft shadow)
+            cq_all = [jnp.zeros((nq, tr), jnp.float32) for _ in range(9)]
             Gl = None
             lone = None
             if nee and n_lights > 0:
@@ -1051,12 +1223,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 cvr = ghat * geomf
                 uncl = (nv["graw"] < 16.0 * jnp.pi).astype(jnp.float32)
                 cgraw = cgeom * uncl
-                # soft-shadow ratio
+                # soft-shadow ratio: v_total = v_spheres * v_quads, one
+                # shared ratio clamp (product-rule split of the cotangent)
                 ss = softshadow_fwd(g)
-                vcl = jnp.maximum(ss["v"], 1e-3)
-                cv = cvr / vcl
+                qs = quad_softshadow_fwd(g)
+                vcl = jnp.maximum(ss["v"] * qs["v"], 1e-3)
+                cv_t = cvr / vcl
                 (sscx, sscy, sscz, ssr, cpx_s, cpy_s, cpz_s,
-                 cwlx, cwly, cwlz, cdist) = softshadow_adj(ss, cv, g)
+                 cwlx, cwly, cwlz, cdist) = softshadow_adj(
+                     ss, cv_t * qs["v"], g)
                 cscx_all = cscx_all + sscx
                 cscy_all = cscy_all + sscy
                 cscz_all = cscz_all + sscz
@@ -1064,6 +1239,14 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 cpx = cpx + cpx_s
                 cpy = cpy + cpy_s
                 cpz = cpz + cpz_s
+                qout = quad_softshadow_adj(qs, cv_t * ss["v"], g)
+                cq_all = [a + b for a, b in zip(cq_all, qout[:9])]
+                cpx = cpx + qout[9]
+                cpy = cpy + qout[10]
+                cpz = cpz + qout[11]
+                cwlx = cwlx + qout[12]
+                cwly = cwly + qout[13]
+                cwlz = cwlz + qout[14]
                 # graw = cosx*cosy*area*NL/r2g
                 r2g = nv["r2g"]
                 area = nv["area"]
@@ -1148,6 +1331,8 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 cscy_all = cscy_all + s1y
                 cscz_all = cscz_all + s1z
                 csr_all = csr_all + s1r
+                qsil = quad_silhouette_adj(st, best_t, rowf, cF)
+                cq_all = [a + b for a, b in zip(cq_all, qsil)]
             cT0r, cT0g, cT0b = cT1r, cT1g, cT1b
 
             # ---- A0 normal -> point -> t -> geometry params -----------
@@ -1238,6 +1423,11 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 [cqc_x, cqc_y, cqc_z, cqux, cquy, cquz,
                  cqvx, cqvy, cqvz, zr, zr, zr, zr, zr, zr, zr], axis=0)
             dquad_add = cl(onehot[ns:], Gq)                         # (nq,16)
+            if sil or (nee and n_lights > 0):
+                # dense quad surrogate rows (edge silhouette + shadow)
+                dquad_add = dquad_add + jnp.concatenate(
+                    [red(m) for m in cq_all]
+                    + [jnp.zeros((nq, 7), jnp.float32)], axis=1)
             monehot = (mrow_ids == g["wmat"].astype(jnp.int32)).astype(
                 jnp.float32)
             Gm = jnp.concatenate(

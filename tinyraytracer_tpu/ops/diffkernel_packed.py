@@ -868,6 +868,194 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 sph_grads.append((cscx, cscy, cscz, csr))
             return sph_grads, (cpx, cpy, cpz, cwlx, cwly, cwlz, cdist)
 
+        # ---- per-real-quad edge surrogates (round-4: VERDICT r3 #2) ----
+        # Quad analog of the sphere surrogates: soft coverage on the four
+        # [0,1) planar-coordinate edges of the segment's plane crossing
+        # (same math as diffkernel.quad_cov_fwd/adj, unrolled per quad
+        # with scalar params). n/w are recomputed from the RAW qu/qv
+        # scalars so the hand chain owns their u,v dependence (the
+        # table's precomputed n/av/bv rows feed detached tests only).
+        _WQE = 0.05
+
+        q_list = tuple((off, prow) for k, off, prow in prims if k == "q")
+        n_q = len(q_list)
+
+        def quad_scalars(off):
+            return ((tb(off + 12), tb(off + 13), tb(off + 14)),
+                    (tb(off + 15), tb(off + 16), tb(off + 17)),
+                    (tb(off + 18), tb(off + 19), tb(off + 20)))
+
+        def _quad_cov_one(off, ax, ay, az, bx_, by_, bz_):
+            """Forward coverage of segment a + t*b against quad `off`.
+            Returns everything the fused adjoint below needs."""
+            (qcx, qcy, qcz), (qux, quy, quz), (qvx, qvy, qvz) = \
+                quad_scalars(off)
+            nx = quy * qvz - quz * qvy
+            ny = quz * qvx - qux * qvz
+            nz = qux * qvy - quy * qvx
+            nn = jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30)
+            inv_nn = 1.0 / nn
+            wx = nx * inv_nn
+            wy = ny * inv_nn
+            wz = nz * inv_nn
+            dp = nx * qcx + ny * qcy + nz * qcz
+            den = nx * bx_ + ny * by_ + nz * bz_
+            den_ok = jnp.abs(den) > 1e-8
+            dsafe = jnp.where(den_ok, den, 1.0)
+            tpar = (dp - (nx * ax + ny * ay + nz * az)) / dsafe
+            prx = ax + tpar * bx_ - qcx
+            pry = ay + tpar * by_ - qcy
+            prz = az + tpar * bz_ - qcz
+            al = ((pry * qvz - prz * qvy) * wx
+                  + (prz * qvx - prx * qvz) * wy
+                  + (prx * qvy - pry * qvx) * wz)
+            be = ((quy * prz - quz * pry) * wx
+                  + (quz * prx - qux * prz) * wy
+                  + (qux * pry - quy * prx) * wz)
+            s1 = jax.nn.sigmoid(al * (1.0 / _WQE))
+            s2 = jax.nn.sigmoid((1.0 - al) * (1.0 / _WQE))
+            s3 = jax.nn.sigmoid(be * (1.0 / _WQE))
+            s4 = jax.nn.sigmoid((1.0 - be) * (1.0 / _WQE))
+            cov = s1 * s2 * s3 * s4
+            return dict(qc=(qcx, qcy, qcz), qu=(qux, quy, quz),
+                        qv=(qvx, qvy, qvz), n=(nx, ny, nz), w=(wx, wy, wz),
+                        inv_nn=inv_nn, den_ok=den_ok, dsafe=dsafe,
+                        tpar=tpar, prx=prx, pry=pry, prz=prz,
+                        s1=s1, s2=s2, s3=s3, s4=s4, cov=cov)
+
+        def _quad_cov_adj_one(qf, ccov, ax, ay, az, bx_, by_, bz_):
+            """ccov -> 9 quad grads (S,L) + segment a/b cotangents.
+            Mirror of diffkernel.quad_cov_adj with scalar quad params."""
+            qcx, qcy, qcz = qf["qc"]
+            qux, quy, quz = qf["qu"]
+            qvx, qvy, qvz = qf["qv"]
+            nx, ny, nz = qf["n"]
+            wx, wy, wz = qf["w"]
+            prx, pry, prz = qf["prx"], qf["pry"], qf["prz"]
+            tpar, dsafe = qf["tpar"], qf["dsafe"]
+            cal = ccov * qf["cov"] * (qf["s2"] - qf["s1"]) * (1.0 / _WQE)
+            cbe = ccov * qf["cov"] * (qf["s4"] - qf["s3"]) * (1.0 / _WQE)
+            # al = (pr x v).w ; be = (u x pr).w
+            cprx = cal * (qvy * wz - qvz * wy) + cbe * (wy * quz - wz * quy)
+            cpry = cal * (qvz * wx - qvx * wz) + cbe * (wz * qux - wx * quz)
+            cprz = cal * (qvx * wy - qvy * wx) + cbe * (wx * quy - wy * qux)
+            cqv_x = cal * (wy * prz - wz * pry)
+            cqv_y = cal * (wz * prx - wx * prz)
+            cqv_z = cal * (wx * pry - wy * prx)
+            cqu_x = cbe * (pry * wz - prz * wy)
+            cqu_y = cbe * (prz * wx - prx * wz)
+            cqu_z = cbe * (prx * wy - pry * wx)
+            cwx = (cal * (pry * qvz - prz * qvy)
+                   + cbe * (quy * prz - quz * pry))
+            cwy = (cal * (prz * qvx - prx * qvz)
+                   + cbe * (quz * prx - qux * prz))
+            cwz = (cal * (prx * qvy - pry * qvx)
+                   + cbe * (qux * pry - quy * prx))
+            # w = n * inv_nn
+            wdc = wx * cwx + wy * cwy + wz * cwz
+            cnx = cwx * qf["inv_nn"] - 2.0 * wx * wdc
+            cny = cwy * qf["inv_nn"] - 2.0 * wy * wdc
+            cnz = cwz * qf["inv_nn"] - 2.0 * wz * wdc
+            # pr = a + tpar*b - c ; tpar = N/D
+            denf = qf["den_ok"].astype(jnp.float32)
+            ctp = (cprx * bx_ + cpry * by_ + cprz * bz_) * denf
+            cqc_x = -cprx
+            cqc_y = -cpry
+            cqc_z = -cprz
+            cN = ctp / dsafe
+            cD = -ctp * tpar / dsafe
+            cnx = cnx + cN * (qcx - ax) + cD * bx_
+            cny = cny + cN * (qcy - ay) + cD * by_
+            cnz = cnz + cN * (qcz - az) + cD * bz_
+            cqc_x = cqc_x + cN * nx
+            cqc_y = cqc_y + cN * ny
+            cqc_z = cqc_z + cN * nz
+            # n = u x v
+            cqu_x = cqu_x + (qvy * cnz - qvz * cny)
+            cqu_y = cqu_y + (qvz * cnx - qvx * cnz)
+            cqu_z = cqu_z + (qvx * cny - qvy * cnx)
+            cqv_x = cqv_x + (cny * quz - cnz * quy)
+            cqv_y = cqv_y + (cnz * qux - cnx * quz)
+            cqv_z = cqv_z + (cnx * quy - cny * qux)
+            ca = (cprx - cN * nx, cpry - cN * ny, cprz - cN * nz)
+            cb = (cprx * tpar + cD * nx, cpry * tpar + cD * ny,
+                  cprz * tpar + cD * nz)
+            return ((cqc_x, cqc_y, cqc_z, cqu_x, cqu_y, cqu_z,
+                     cqv_x, cqv_y, cqv_z), ca, cb)
+
+        def quad_softshadow_v(g):
+            """Per-quad soft visibilities [(1 per real quad)] + product."""
+            nv = g["nee_vals"]
+            vqs = []
+            v = None
+            for off, _prow in q_list:
+                qf = _quad_cov_one(off, g["p_x"], g["p_y"], g["p_z"],
+                                   nv["wlx"], nv["wly"], nv["wlz"])
+                gate = (qf["den_ok"] & (qf["tpar"] > 1e-3)
+                        & (qf["tpar"] < nv["dist"] * (1.0 - 1e-3))
+                        ).astype(jnp.float32)
+                vq = jnp.maximum(1.0 - gate * qf["cov"], 1e-3)
+                vqs.append(vq)
+                v = vq if v is None else v * vq
+            if v is None:
+                v = jnp.ones_like(g["hlf"])
+            return vqs, v
+
+        def quad_softshadow_adj(vqs, v_q, cv, g):
+            """cv (S,L) -> per-quad 9-grads + (cp x3, cwl x3). Coverage
+            is recomputed per quad (VPU flops beat holding n_q forward
+            dicts in VMEM; same policy as shade())."""
+            nv = g["nee_vals"]
+            quad_grads = []
+            z = jnp.zeros_like(cv)
+            cpx = cpy = cpz = z
+            cwlx = cwly = cwlz = z
+            for qi, (off, _prow) in enumerate(q_list):
+                qf = _quad_cov_one(off, g["p_x"], g["p_y"], g["p_z"],
+                                   nv["wlx"], nv["wly"], nv["wlz"])
+                gate = (qf["den_ok"] & (qf["tpar"] > 1e-3)
+                        & (qf["tpar"] < nv["dist"] * (1.0 - 1e-3))
+                        ).astype(jnp.float32)
+                vq_raw = 1.0 - gate * qf["cov"]
+                cvq = cv * v_q / jnp.maximum(vqs[qi], 1e-6)
+                cvq = jnp.where(vq_raw > 1e-3, cvq, 0.0)
+                ccov = -gate * cvq
+                grads, ca, cb = _quad_cov_adj_one(
+                    qf, ccov, g["p_x"], g["p_y"], g["p_z"],
+                    nv["wlx"], nv["wly"], nv["wlz"])
+                quad_grads.append(grads)
+                cpx = cpx + ca[0]
+                cpy = cpy + ca[1]
+                cpz = cpz + ca[2]
+                cwlx = cwlx + cb[0]
+                cwly = cwly + cb[1]
+                cwlz = cwlz + cb[2]
+            return quad_grads, (cpx, cpy, cpz, cwlx, cwly, cwlz)
+
+        def quad_silhouette_adj(st, best_t, rowf, cF):
+            """Per-real-quad edge-silhouette grads [(9 x (S,L))]."""
+            (ox, oy, oz, dx, dy, dz, _tr, _tg, _tb, alive_f, _pd) = st
+            hit = best_t < _MISS
+            t_lim = jnp.where(hit, best_t, 3.0e30)
+            rowi = rowf.astype(jnp.int32)
+            live = alive_f > 0.5
+            out = []
+            for off, prow in q_list:
+                qf = _quad_cov_one(off, ox, oy, oz, dx, dy, dz)
+                wq_win = (rowi == prow) & hit
+                gate = (qf["den_ok"] & (qf["tpar"] > _T_MIN)
+                        & (qf["tpar"] < t_lim)).astype(jnp.float32)
+                p = jnp.where(wq_win, qf["cov"], 1.0 - gate * qf["cov"])
+                p = jnp.where(live, p, 1.0)
+                pc = jnp.maximum(p, 1e-3)
+                cp = cF / pc
+                sgn_ev = jnp.where(wq_win, 1.0, -gate)
+                ccov = jnp.where(live, cp * sgn_ev, 0.0)
+                grads, _ca, _cb = _quad_cov_adj_one(
+                    qf, ccov, ox, oy, oz, dx, dy, dz)
+                out.append(grads)
+            return out
+
         def silhouette_adj(st, best_t, rowf, cF):
             """Per-real-sphere silhouette surrogate grads (S,L) x4."""
             (ox, oy, oz, dx, dy, dz, _tr, _tg, _tb, alive_f, _pd) = st
@@ -936,6 +1124,21 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 for c4, arr in enumerate(comps):
                     tab = tab + jnp.where(
                         hit_row & (col_ns8 == c4), jnp.sum(arr), 0.0)
+            return tab
+
+        row_nq16 = jax.lax.broadcasted_iota(jnp.int32, (nq, 16), 0)
+        col_nq16 = jax.lax.broadcasted_iota(jnp.int32, (nq, 16), 1)
+
+        def quad_scalar_table(per_quad):
+            """[(9 x (S,L)) per real quad] -> (nq, 16): corner/u/v cols
+            0..8; real quad j sits at table row prow - ns (prims order,
+            same convention as sphere_scalar_table)."""
+            tab = jnp.zeros((nq, 16), jnp.float32)
+            for (off_, prow_), comps in zip(q_list, per_quad):
+                hit_row = row_nq16 == (prow_ - ns)
+                for c9, arr in enumerate(comps):
+                    tab = tab + jnp.where(
+                        hit_row & (col_nq16 == c9), jnp.sum(arr), 0.0)
             return tab
 
         def bounce_adj(sample_id, b_py, st, best_t, rowf, vis,
@@ -1051,6 +1254,7 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
 
             # ---- A4 NEE -------------------------------------------
             sph_soft = [(jnp.zeros_like(hlf),) * 4 for _ in range(n_s)]
+            quad_soft = [(jnp.zeros_like(hlf),) * 9 for _ in range(n_q)]
             Gl_rows = None
             kpick = None
             if nee and n_lights > 0:
@@ -1078,20 +1282,42 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 cvr = ghat * geomf
                 uncl = (nv["graw"] < 16.0 * jnp.pi).astype(jnp.float32)
                 cgraw = cgeom * uncl
-                if n_s:
-                    ss = softshadow_fwd(g)
-                    vcl = jnp.maximum(ss["v"], 1e-3)
-                    cv = cvr / vcl
-                    sph_grads, (cpx_s, cpy_s, cpz_s,
-                                cwlx, cwly, cwlz, cdist) = softshadow_adj(
-                        ss, cv, g)
-                    sph_soft = [
-                        tuple(a + b for a, b in zip(sg, so))
-                        for sg, so in zip(sph_grads, sph_soft)
-                    ]
-                    cpx = cpx + cpx_s
-                    cpy = cpy + cpy_s
-                    cpz = cpz + cpz_s
+                if n_s or n_q:
+                    # v_total = v_spheres * v_quads, one shared ratio
+                    # clamp (product-rule split of the cotangent — same
+                    # construction as diffkernel.py A4)
+                    zlt = jnp.zeros_like(hlf)
+                    olt = jnp.ones_like(hlf)
+                    ss = softshadow_fwd(g) if n_s else dict(v=olt)
+                    vqs, v_q = quad_softshadow_v(g) if n_q else ([], olt)
+                    vcl = jnp.maximum(ss["v"] * v_q, 1e-3)
+                    cv_t = cvr / vcl
+                    cwlx = cwly = cwlz = cdist = zlt
+                    if n_s:
+                        sph_grads, (cpx_s, cpy_s, cpz_s, cwlx, cwly,
+                                    cwlz, cdist) = softshadow_adj(
+                            ss, cv_t * v_q, g)
+                        sph_soft = [
+                            tuple(a + b for a, b in zip(sg, so))
+                            for sg, so in zip(sph_grads, sph_soft)
+                        ]
+                        cpx = cpx + cpx_s
+                        cpy = cpy + cpy_s
+                        cpz = cpz + cpz_s
+                    if n_q:
+                        q_grads, (cpx_q, cpy_q, cpz_q, cwlx_q, cwly_q,
+                                  cwlz_q) = quad_softshadow_adj(
+                            vqs, v_q, cv_t * ss["v"], g)
+                        quad_soft = [
+                            tuple(a + b for a, b in zip(qg, qo))
+                            for qg, qo in zip(q_grads, quad_soft)
+                        ]
+                        cpx = cpx + cpx_q
+                        cpy = cpy + cpy_q
+                        cpz = cpz + cpz_q
+                        cwlx = cwlx + cwlx_q
+                        cwly = cwly + cwly_q
+                        cwlz = cwlz + cwlz_q
                 else:
                     zlt = jnp.zeros_like(hlf)
                     cwlx = cwly = cwlz = cdist = zlt
@@ -1166,13 +1392,20 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             cbg_b = mlf * T1b * chb_
 
             # ---- A1 silhouette ------------------------------------
-            if sil and n_s:
+            if sil and (n_s or n_q):
                 cF = cT1r * T0r + cT1g * T0g + cT1b * T0b
-                sil_grads = silhouette_adj(st, best_t, rowf, cF)
-                sph_soft = [
-                    tuple(a + b for a, b in zip(sg, so))
-                    for sg, so in zip(sil_grads, sph_soft)
-                ]
+                if n_s:
+                    sil_grads = silhouette_adj(st, best_t, rowf, cF)
+                    sph_soft = [
+                        tuple(a + b for a, b in zip(sg, so))
+                        for sg, so in zip(sil_grads, sph_soft)
+                    ]
+                if n_q:
+                    qsil = quad_silhouette_adj(st, best_t, rowf, cF)
+                    quad_soft = [
+                        tuple(a + b for a, b in zip(qg, qo))
+                        for qg, qo in zip(qsil, quad_soft)
+                    ]
             cT0r, cT0g, cT0b = cT1r, cT1g, cT1b
 
             # ---- A0 normal -> point -> t -> geometry params --------
@@ -1263,6 +1496,8 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                  flat(cqvx), flat(cqvy), flat(cqvz),
                  zf, zf, zf, zf, zf, zf, zf], axis=0)         # (16, SL)
             dquad_add = lane_dot(onehot[ns:], Gq)
+            if n_q:
+                dquad_add = dquad_add + quad_scalar_table(quad_soft)
             monehot = (row_nm == flat(g["wmat"]).astype(jnp.int32)).astype(
                 jnp.float32)
             Gm = jnp.concatenate(

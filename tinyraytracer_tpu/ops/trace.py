@@ -202,30 +202,42 @@ def trace(
 
 
 def _silhouette_factor(scene, o, d, t_sel, j, alive):
-    """Sphere silhouette (boundary) gradients via a value-preserving ratio.
+    """Boundary (silhouette) gradients via a value-preserving ratio.
 
     The pathwise estimator's radiance is constant w.r.t. WHICH primitive a
     ray hits — geometry only moves the discontinuity boundary, so image
-    gradients w.r.t. sphere positions are zero a.e. and large position
-    offsets never recover (VERDICT r1 §Missing 3). Sphere silhouettes are
-    analytic circles, so the boundary term has a cheap surrogate: treat each
-    ray×sphere visibility event as a Bernoulli with a *soft* probability
-    from the ray-line/center separation,
+    gradients w.r.t. primitive positions are zero a.e. and large position
+    offsets never recover (VERDICT r1 §Missing 3). Both primitive classes
+    have analytic silhouettes, so the boundary term has a cheap surrogate:
+    treat each ray×primitive visibility event as a Bernoulli with a *soft*
+    probability.
+
+    Spheres (circle silhouette, from the ray-line/center separation):
 
         cov_s  = sigmoid((|r_s| - dmin_s) / w_s)          (hit event)
         p_s    = cov_s   if the ray's winner is sphere s
-                 1-cov_s otherwise (sphere s in front failed to occlude)
+                 1-cov_s otherwise (sphere s in front failed to occlode)
 
-    and multiply throughput by prod_s p_s / stop_grad(p_s): forward value is
-    exactly 1 (the estimator is unchanged, unbiased), while the backward
-    pass sees the score-function term d log p_s / d(center, radius). Summed
-    over rays straddling the silhouette this approximates the edge integral
+    Quads (four [0,1) planar-coordinate edges, quad.rs:33-54): evaluate
+    the ray's hit point on the quad's plane, take its planar coords
+    (alpha, beta) via the same w = n/(n.n) construction as the hard test
+    (quad.rs:20-29), and soften each edge with a sigmoid:
+
+        cov_q = sig(a/w)sig((1-a)/w)sig(b/w)sig((1-b)/w),  w = 0.05
+        p_q   = cov_q    if the winner is quad q
+                1-g*cov_q otherwise (g = hard "plane crossing in front"
+                                     gate, detached)
+
+    and multiply throughput by prod p / stop_grad(prod p): forward value
+    is exactly 1 (the estimator is unchanged, unbiased), while the
+    backward pass sees the score-function term d log p / d(params). Summed
+    over rays straddling a silhouette this approximates the edge integral
     (f_in - f_out) dEdge/dparam — the practical stand-in for explicit edge
     sampling (SURVEY.md §7 "edge-aware estimator"), same construction as
     the NEE soft-shadow surrogate below.
 
-    Rays and the winner t are detached: the factor differentiates sphere
-    parameters only. Spheres strictly behind the winner surface get p = 1
+    Rays and the winner t are detached: the factor differentiates scene
+    geometry only. Primitives strictly behind the winner surface get p = 1
     (moving them cannot change this ray — no spurious gradient).
     """
     sg = jax.lax.stop_gradient
@@ -274,8 +286,51 @@ def _silhouette_factor(scene, o, d, t_sel, j, alive):
     # Clamping just the denominator would darken the forward render
     # whenever p < 1e-3 (e.g. a segment originating deep inside a sphere).
     p = jnp.maximum(p, 1e-3)
-    ratio = p / sg(p)
-    return jnp.prod(ratio, axis=0)                         # (R,)
+    ratio = jnp.prod(p / sg(p), axis=0)                    # (R,)
+
+    # ---- quad edges (same (Nq, R) dense-lane orientation) ----
+    nq = scene.quad_corner.shape[0]
+    qn = jnp.cross(scene.quad_u, scene.quad_v)             # (Nq,3) attached
+    qd = jnp.sum(qn * scene.quad_corner, axis=-1)          # (Nq,)
+    qw = qn / jnp.maximum(
+        jnp.sum(qn * qn, axis=-1, keepdims=True), 1e-12)   # (Nq,3)
+    nx_, ny_, nz_ = qn[:, 0:1], qn[:, 1:2], qn[:, 2:3]     # (Nq,1)
+    denom = nx_ * dx + ny_ * dy + nz_ * dz                 # (Nq,R)
+    # parallel rays never cross the plane: keep t finite, gate them off
+    denom_ok = jnp.abs(denom) > 1e-8
+    denom_safe = jnp.where(denom_ok, denom, 1.0)
+    n_dot_o = nx_ * ox + ny_ * oy + nz_ * oz
+    t_pl = (qd[:, None] - n_dot_o) / denom_safe            # (Nq,R)
+    prx = ox + t_pl * dx - scene.quad_corner[:, 0:1]       # (Nq,R)
+    pry = oy + t_pl * dy - scene.quad_corner[:, 1:2]
+    prz = oz + t_pl * dz - scene.quad_corner[:, 2:3]
+    ux_, uy_, uz_ = (scene.quad_u[:, 0:1], scene.quad_u[:, 1:2],
+                     scene.quad_u[:, 2:3])
+    vx_, vy_, vz_ = (scene.quad_v[:, 0:1], scene.quad_v[:, 1:2],
+                     scene.quad_v[:, 2:3])
+    wx_, wy_, wz_ = qw[:, 0:1], qw[:, 1:2], qw[:, 2:3]
+    # alpha = (pr x v) . w ; beta = (u x pr) . w   (quad.rs:33-54)
+    alpha = ((pry * vz_ - prz * vy_) * wx_
+             + (prz * vx_ - prx * vz_) * wy_
+             + (prx * vy_ - pry * vx_) * wz_)
+    beta = ((uy_ * prz - uz_ * pry) * wx_
+            + (uz_ * prx - ux_ * prz) * wy_
+            + (ux_ * pry - uy_ * prx) * wz_)
+    wq = 0.05                                   # 5% of each edge length
+    cov_q = (jax.nn.sigmoid(alpha / wq) * jax.nn.sigmoid((1.0 - alpha) / wq)
+             * jax.nn.sigmoid(beta / wq) * jax.nn.sigmoid((1.0 - beta) / wq))
+    is_quad_winner = (
+        hit[None, :] & ((j[None, :] - ns) == jnp.arange(nq)[:, None])
+    )
+    # pass-by: only a plane crossing strictly in front of the winner can
+    # be a failed occlusion (detached hard gate, like the sphere clamp)
+    gate = (
+        denom_ok & (sg(t_pl) > float(isect.T_MIN)) & (sg(t_pl) < t_lim)
+    ).astype(jnp.float32)
+    pq = jnp.where(is_quad_winner, cov_q, 1.0 - gate * cov_q)
+    pq = jnp.where(scene.quad_valid[:, None] & alive[None, :], pq, 1.0)
+    pq = jnp.maximum(pq, 1e-3)
+    return ratio * jnp.prod(pq / sg(pq), axis=0)           # (R,)
 
 
 def _nee_contribution(
@@ -371,6 +426,50 @@ def _nee_contribution(
     v_soft_i = jax.nn.sigmoid((dsep - r_all) / soft_w)
     v_soft_i = jnp.where(scene.sph_valid[:, None], v_soft_i, 1.0)
     v_soft = jnp.prod(v_soft_i, axis=0)                     # (R,)
+
+    # QUAD occluders get the same treatment: soft coverage of the shadow
+    # segment's plane crossing, softened on the four [0,1) planar-coord
+    # edges (the quad analog of the circle separation above — see
+    # _silhouette_factor for the construction). The crossing-in-range
+    # gate is hard and detached; the sampled light's own plane sits at
+    # s = dist and is excluded by the (1 - 1e-3) slack, matching the
+    # hard visibility test.
+    qn_s = jnp.cross(scene.quad_u, scene.quad_v)            # (Nq,3)
+    qd_s = jnp.sum(qn_s * scene.quad_corner, axis=-1)       # (Nq,)
+    qw_s = qn_s / jnp.maximum(
+        jnp.sum(qn_s * qn_s, axis=-1, keepdims=True), 1e-12)
+    nqx, nqy, nqz = qn_s[:, 0:1], qn_s[:, 1:2], qn_s[:, 2:3]
+    den_s = nqx * wx + nqy * wy + nqz * wz                  # (Nq,R)
+    den_ok = jnp.abs(den_s) > 1e-8
+    den_safe = jnp.where(den_ok, den_s, 1.0)
+    s_pl = (qd_s[:, None] - (nqx * xx + nqy * xy_ + nqz * xz)) / den_safe
+    prx = xx + s_pl * wx - scene.quad_corner[:, 0:1]
+    pry = xy_ + s_pl * wy - scene.quad_corner[:, 1:2]
+    prz = xz + s_pl * wz - scene.quad_corner[:, 2:3]
+    qux, quy, quz = (scene.quad_u[:, 0:1], scene.quad_u[:, 1:2],
+                     scene.quad_u[:, 2:3])
+    qvx, qvy, qvz = (scene.quad_v[:, 0:1], scene.quad_v[:, 1:2],
+                     scene.quad_v[:, 2:3])
+    qwx, qwy, qwz = qw_s[:, 0:1], qw_s[:, 1:2], qw_s[:, 2:3]
+    al_s = ((pry * qvz - prz * qvy) * qwx
+            + (prz * qvx - prx * qvz) * qwy
+            + (prx * qvy - pry * qvx) * qwz)
+    be_s = ((quy * prz - quz * pry) * qwx
+            + (quz * prx - qux * prz) * qwy
+            + (qux * pry - quy * prx) * qwz)
+    wq_s = 0.05
+    cov_qs = (jax.nn.sigmoid(al_s / wq_s)
+              * jax.nn.sigmoid((1.0 - al_s) / wq_s)
+              * jax.nn.sigmoid(be_s / wq_s)
+              * jax.nn.sigmoid((1.0 - be_s) / wq_s))
+    gate_s = (
+        den_ok & (sg(s_pl) > 1e-3)
+        & (sg(s_pl) < dist[None, :] * (1.0 - 1e-3))
+    ).astype(jnp.float32)
+    v_soft_q = 1.0 - gate_s * cov_qs
+    v_soft_q = jnp.where(scene.quad_valid[:, None], v_soft_q, 1.0)
+    v_soft_q = jnp.maximum(v_soft_q, 1e-3)
+    v_soft = v_soft * jnp.prod(v_soft_q, axis=0)
     v_ratio = v_soft / jnp.maximum(sg(v_soft), 1e-3)
 
     # f/pdf = (albedo/pi) * E * cos_x * |cos_y| * A * NL / r^2. The 1/r^2
