@@ -248,6 +248,97 @@ def test_silhouette_recovers_sphere_position():
     assert err < 0.5, f"center error {err:.3f} after 100 steps (started at 4.0)"
 
 
+def test_quad_gradient_matches_fd():
+    """Boundary-free quad FD gate (VERDICT r3 #2): camera staring at a
+    wall quad that fills the whole view, so no edge crosses the image and
+    the pathwise derivative (through t, hit point, normal) is the true
+    one. Perturb an in-plane corner component."""
+    world = World()
+    world.add_material("wall", Lambertian((0.4, 0.5, 0.6)))
+    from tinyraytracer_tpu.models.geometry import Quad
+
+    world.add_geometry(Quad((-50.0, -50.0, 3.0), (100.0, 0.0, 0.0),
+                            (0.0, 100.0, 0.0), "wall"))
+    scene = world.build()
+    camera = Camera.new(1.0, 0.0, (0.0, 0.0, -2.0), (0.0, 0.0, 3.0),
+                        (0.0, 1.0, 0.0), 50.0, W, H)
+    q_row = int(np.nonzero(np.asarray(scene.quad_valid))[0][0])
+
+    def loss_wrt(v):
+        arr = scene.quad_corner.at[(q_row, 2)].set(v)  # push wall in z
+        return _mean_render(scene.replace(quad_corner=arr), camera)
+
+    v0 = scene.quad_corner[q_row, 2]
+    g = float(jax.grad(loss_wrt)(v0))
+    eps = 3e-2
+    fd = (float(loss_wrt(v0 + eps)) - float(loss_wrt(v0 - eps))) / (2 * eps)
+    assert np.isfinite(g)
+    assert abs(g - fd) <= 0.05 * max(abs(fd), 1e-3), (g, fd)
+
+
+@pytest.mark.slow
+def test_fit_recovers_quad_occluder_position():
+    """VERDICT r3 #2 gate: a NON-emissive quad occluder offset >2 units
+    recovers to <0.5. The pathwise estimator's gradient w.r.t. the
+    occluder's position is zero a.e.; the quad edge silhouette +
+    soft-shadow surrogates (ops.trace._silhouette_factor quad branch)
+    supply the boundary term — the quad analog of
+    test_silhouette_recovers_sphere_position."""
+    import optax
+
+    def build(off):
+        w = World()
+        w.add_material("white", Lambertian((0.73, 0.73, 0.73)))
+        w.add_material("blue", Lambertian((0.1, 0.2, 0.8)))
+        w.add_material("lamp", Light((15.0, 15.0, 15.0)))
+        from tinyraytracer_tpu.models.geometry import Quad
+
+        w.add_geometry(Quad((-50.0, -50.0, 10.0), (100.0, 0.0, 0.0),
+                            (0.0, 100.0, 0.0), "white"))
+        w.add_geometry(Quad((-4.0, 19.99, -4.0), (8.0, 0.0, 0.0),
+                            (0.0, 0.0, 8.0), "lamp"))
+        w.add_geometry(Quad((-2.0 + off, -2.0, 0.0), (4.0, 0.0, 0.0),
+                            (0.0, 4.0, 0.0), "blue"))
+        cam = Camera.new(20.0, 0.0, (0.0, 0.0, -20.0), (0.0, 0.0, 0.0),
+                         (0.0, 1.0, 0.0), 40.0, 48, 48)
+        return w.build(), cam
+
+    scene_t, cam = build(0.0)
+    bg = jnp.asarray((0.001,) * 3, jnp.float32)
+    target = trace_ops.render_image(
+        scene_t, cam, spp=48, max_bounces=3, background=bg, seed=1, nee=True
+    )
+    scene0, _ = build(2.5)
+    # World.build() lowers in BVH visit order, not add order: find the
+    # occluder row by its corner value, pin the other quad rows each step
+    # (trainable= is field-granular).
+    qrows = np.nonzero(np.asarray(scene0.quad_valid))[0]
+    corners0 = np.asarray(scene0.quad_corner)
+    occ_row = int(qrows[np.argmin(np.linalg.norm(
+        corners0[qrows] - np.array([0.5, -2.0, 0.0]), axis=-1))])
+    true_corner = np.asarray(scene_t.quad_corner)[occ_row]
+    fixed_rows = jnp.asarray([int(r) for r in qrows if r != occ_row])
+    fixed_vals = jnp.asarray(
+        corners0[[int(r) for r in qrows if r != occ_row]])
+
+    sched = optax.join_schedules(
+        [optax.constant_schedule(0.15),
+         optax.exponential_decay(0.15, transition_steps=10, decay_rate=0.4)],
+        boundaries=[45],
+    )
+    step, (params, opt) = inverse.make_train_step(
+        scene0, cam, target, spp=16, max_bounces=3, background=bg, seed=0,
+        optimizer=optax.adam(sched), trainable=("quad_corner",),
+    )
+    for i in range(100):
+        params, opt, _ = step(params, opt, i)
+        params["quad_corner"] = params["quad_corner"].at[fixed_rows].set(
+            fixed_vals)
+    got = np.asarray(params["quad_corner"])[occ_row]
+    err = float(np.linalg.norm(got - true_corner))
+    assert err < 0.5, f"occluder error {err:.3f} after 100 steps (started at 2.5)"
+
+
 def test_fit_recovers_light_quad_position():
     """North-star "quad vertices": recover an out-of-view light quad's
     position purely from the shading it casts (NEE contribution is smooth

@@ -415,14 +415,15 @@ def make_fused_train_step(
     if grad_chunks < 1 or spp % grad_chunks:
         raise ValueError(f"grad_chunks={grad_chunks} must divide spp={spp}")
     cspp = spp // grad_chunks
-    # The silhouette surrogate contributes ONLY to the sphere geometry
-    # gradient rows (its cotangents never feed the shared chains —
-    # diffkernel bounce_adj A1). When the fit doesn't train sphere
-    # geometry those rows are masked to zero anyway, so skipping the
-    # surrogate is bit-identical on every used output and drops its
-    # per-sphere unrolled work from the adjoint.
+    # The silhouette surrogate contributes ONLY to the geometry gradient
+    # rows (sphere center/radius + quad corner/u/v; its cotangents never
+    # feed the shared chains — diffkernel bounce_adj A1). When the fit
+    # doesn't train geometry those rows are masked to zero anyway, so
+    # skipping the surrogate is bit-identical on every used output and
+    # drops its per-primitive unrolled work from the adjoint.
     sil = trainset is None or bool(
-        {"sph_center", "sph_radius"} & trainset)
+        {"sph_center", "sph_radius",
+         "quad_corner", "quad_u", "quad_v"} & trainset)
 
     @jax.jit
     def step(params, opt_state, step_idx):
