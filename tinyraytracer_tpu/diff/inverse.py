@@ -362,6 +362,7 @@ def make_fused_train_step(
     learning_rate: float = 1e-2,
     advance_samples: bool = True,
     trainable: Optional[Tuple[str, ...]] = None,
+    trainable_rows: Optional[dict] = None,
     interpret: bool = False,
     mesh=None,
     tile: Optional[Tuple[int, int]] = None,
@@ -369,6 +370,17 @@ def make_fused_train_step(
     static=None,
 ) -> Tuple[Callable, Tuple[Params, optax.OptState]]:
     """Train step on the fused differentiable kernel (ops/diffkernel.py).
+
+    trainable_rows (VERDICT r3 #1): optional {"sph": scene-row ids,
+    "quad": scene-row ids} restricting GEOMETRY training to those
+    primitive rows. Two effects: (a) the kernel's boundary-surrogate
+    adjoints run only on those rows, so the per-bounce surrogate cost
+    scales with the trained subset, not the scene (the many-sphere
+    enabler — a 128-sphere scene with 8 trained spheres steps ~2x
+    faster); (b) geometry gradients of every other row are masked to
+    zero, so the optimizer cannot move scenery the caller pinned.
+    Material fields are unaffected (they are winner-indexed, not
+    row-surrogate work). Forces the classic kernel.
 
     static: optional precomputed build_diff_static(scene_template) — the
     host-side scene compaction; pass it when the caller already built one
@@ -424,6 +436,23 @@ def make_fused_train_step(
     sil = trainset is None or bool(
         {"sph_center", "sph_radius",
          "quad_corner", "quad_u", "quad_v"} & trainset)
+    surr_rows = None
+    row_mask = None
+    if trainable_rows is not None:
+        surr_rows = {"sph": tuple(int(r) for r in
+                                  trainable_rows.get("sph", ())),
+                     "quad": tuple(int(r) for r in
+                                   trainable_rows.get("quad", ()))}
+        # per-row update masks over the full SceneArrays row axes
+        sm = jnp.zeros((scene_template.sph_center.shape[0],), jnp.float32)
+        if surr_rows["sph"]:
+            sm = sm.at[jnp.asarray(surr_rows["sph"])].set(1.0)
+        qm = jnp.zeros((scene_template.quad_corner.shape[0],), jnp.float32)
+        if surr_rows["quad"]:
+            qm = qm.at[jnp.asarray(surr_rows["quad"])].set(1.0)
+        row_mask = {"sph_center": sm[:, None], "sph_radius": sm,
+                    "quad_corner": qm[:, None], "quad_u": qm[:, None],
+                    "quad_v": qm[:, None]}
 
     @jax.jit
     def step(params, opt_state, step_idx):
@@ -435,6 +464,7 @@ def make_fused_train_step(
                 spp=spp, max_bounces=max_bounces, background=background,
                 seed=seed, spp_offset=base, silhouette=sil,
                 interpret=interpret, static=static, mesh=mesh, tile=tile,
+                surr_rows=surr_rows,
             )
         else:
             losses, gs = [], []
@@ -446,7 +476,7 @@ def make_fused_train_step(
                     spp_offset=base + jnp.uint32(c * cspp),
                     silhouette=sil,
                     interpret=interpret, static=static, mesh=mesh,
-                    tile=tile,
+                    tile=tile, surr_rows=surr_rows,
                 )
                 losses.append(cl)
                 gs.append(cg)
@@ -462,6 +492,11 @@ def make_fused_train_step(
         if trainset is not None:
             grads = {
                 k: g if k in trainset else jnp.zeros_like(g)
+                for k, g in grads.items()
+            }
+        if row_mask is not None:
+            grads = {
+                k: g * row_mask[k] if k in row_mask else g
                 for k, g in grads.items()
             }
         updates, new_opt = optimizer.update(grads, opt_state, params)

@@ -1145,6 +1145,25 @@ class MegakernelRenderer:
         # scenes (Cornell) where lanes survive to the budget and the exit
         # check only costs.
         self._bg_open = float(np.max(np.asarray(background))) > 0.01
+        self._burst = None     # (key, jitted fn) cache for render_burst
+
+    def render_burst(self, *, spp: int, max_bounces: int, seeds,
+                     **kw) -> jax.Array:
+        """len(seeds) independent renders in ONE XLA program -> (n,H,W,3).
+
+        Small workloads (cfg1: ~2 ms of kernel in a ~27 ms wall) are
+        host-dispatch-bound — each launch pays the full dispatch/tunnel
+        round trip. Baking N seed-renders into one compiled program pays
+        that cost once for N images (the TPU analog of the reference
+        batching 10,240 rays per Metal dispatch, sampler.rs:11)."""
+        seeds = tuple(int(s) for s in seeds)
+        key = (spp, max_bounces, seeds, tuple(sorted(kw.items())))
+        if self._burst is None or self._burst[0] != key:
+            fn = jax.jit(lambda: jnp.stack([
+                self.render(spp=spp, max_bounces=max_bounces, seed=s, **kw)
+                for s in seeds]))
+            self._burst = (key, fn)
+        return self._burst[1]()
 
     def render(self, *, spp: int, max_bounces: int, seed: int = 0,
                spp_offset: int = 0, mesh=None, early_exit=None,
