@@ -24,3 +24,8 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running statistical tests")
+    config.addinivalue_line(
+        "markers",
+        "heavy: interpret-mode kernel parity / recovery-fit tests (>=10s "
+        "each). Fast iteration tier: pytest -m 'not heavy' (~2-3 min); "
+        "the full suite runs everything (VERDICT r3 #8)")

@@ -111,6 +111,7 @@ def test_emission_gradient_matches_fd():
     assert abs(g - fd) <= 0.03 * max(abs(fd), 1e-3)
 
 
+@pytest.mark.heavy
 def test_sharded_grads_match_single_device(down_scene):
     scene, camera = down_scene
     target = np.zeros((H, W, 3), np.float32)
@@ -130,6 +131,7 @@ def test_sharded_grads_match_single_device(down_scene):
         )
 
 
+@pytest.mark.heavy
 def test_inverse_fit_recovers_albedo(down_scene):
     scene, camera = down_scene
     target = trace_ops.render_image(
@@ -197,6 +199,7 @@ def test_silhouette_factor_is_value_preserving():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_silhouette_recovers_sphere_position():
     """BASELINE.md gate: sphere *position* recovery from a large offset.
 
@@ -277,6 +280,7 @@ def test_quad_gradient_matches_fd():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_fit_recovers_quad_occluder_position():
     """VERDICT r3 #2 gate: a NON-emissive quad occluder offset >2 units
     recovers to <0.5. The pathwise estimator's gradient w.r.t. the
@@ -339,6 +343,7 @@ def test_fit_recovers_quad_occluder_position():
     assert err < 0.5, f"occluder error {err:.3f} after 100 steps (started at 2.5)"
 
 
+@pytest.mark.heavy
 def test_fit_recovers_light_quad_position():
     """North-star "quad vertices": recover an out-of-view light quad's
     position purely from the shading it casts (NEE contribution is smooth

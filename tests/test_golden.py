@@ -22,6 +22,7 @@ REF = "/root/reference"
     not os.path.exists(f"{REF}/output/output.png"),
     reason="reference renders not mounted",
 )
+@pytest.mark.heavy
 def test_golden_quad_scene_small():
     """Block-mean agreement on a downscaled five-quad render: the golden is
     400x300; render at 200x150 and compare 2x-downsampled golden blocks."""

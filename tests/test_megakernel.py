@@ -140,6 +140,7 @@ def test_megakernel_spp_offset_partitions_samples():
     )
 
 
+@pytest.mark.heavy
 def test_material_specialization_bit_identical():
     """Compiling out absent material kinds (has_met/has_die) must be
     exactly value-preserving: a lambertian+light scene (flags auto-derived
@@ -162,6 +163,7 @@ def test_material_specialization_bit_identical():
                                   np.asarray(full_classic))
 
 
+@pytest.mark.heavy
 def test_packed_sharded_matches_single():
     """The sharded packed kernel reproduces the single-device packed
     render: tile-only meshes bitwise (placement-invariant RNG), sample

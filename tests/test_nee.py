@@ -57,6 +57,7 @@ def test_nee_reduces_variance(cornell):
     assert var_nee < 0.7 * var_base, (var_base, var_nee)
 
 
+@pytest.mark.heavy
 def test_nee_geometry_gradient_matches_fd_boundary_free():
     """On a scene with no visibility boundary in view (camera staring at a
     wall-filling sphere lit by an overhead quad light), the NEE interior
@@ -139,6 +140,7 @@ def test_nee_sphere_light_unbiased():
     assert abs(b - n) / b < 0.05, (b, n)
 
 
+@pytest.mark.heavy
 def test_nee_geometry_gradients_nonzero(cornell):
     """Geometry grads are exactly zero under the base estimator (radiance
     is a product of discretely-selected constants) and finite, nonzero

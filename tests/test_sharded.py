@@ -88,6 +88,7 @@ def test_renderer_sample_parallel_wiring(cornell_small):
         np.testing.assert_allclose(np.asarray(img), ref, rtol=0, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_driver_dryrun_multichip():
     import sys, os
 

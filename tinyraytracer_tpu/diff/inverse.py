@@ -565,6 +565,7 @@ def fit(
     learning_rate: float = 1e-2,
     optimizer: Optional[optax.GradientTransformation] = None,
     trainable: Optional[Tuple[str, ...]] = None,
+    trainable_rows: Optional[dict] = None,
     mesh: Optional[Mesh] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -595,9 +596,17 @@ def fit(
     step inside jit, so no compact refresh is needed); "modular" runs
     the autodiff path; "auto" picks fused on TPU when the scene fits the
     fused kernel's limits, modular otherwise.
+
+    `trainable_rows` ({"sph": rows, "quad": rows}, fused engine only):
+    restrict geometry training to those primitive rows — surrogate cost
+    then scales with the trained subset (make_fused_train_step docs).
     """
     if engine not in ("auto", "fused", "modular"):
         raise ValueError(f"unknown engine {engine!r}")
+    if trainable_rows is not None and engine == "modular":
+        raise ValueError(
+            "trainable_rows requires the fused engine (the modular path "
+            "has no row-subset surrogate mode)")
     fused_static = None
     if engine == "auto":
         use_fused = False
@@ -613,8 +622,13 @@ def fit(
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
         factory = functools.partial(make_fused_train_step,
-                                    static=fused_static)
+                                    static=fused_static,
+                                    trainable_rows=trainable_rows)
     else:
+        if trainable_rows is not None:
+            raise ValueError(
+                "trainable_rows requires the fused engine, but auto "
+                "selected modular for this scene/platform")
         factory = make_train_step
     step_fn, (params, opt_state) = factory(
         scene_template,

@@ -305,7 +305,8 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                       nl: int, n_lights: int, nee: bool, sil: bool,
                       has_met: bool = True, has_die: bool = True,
                       surr_s: tuple | None = None,
-                      surr_q: tuple | None = None):
+                      surr_q: tuple | None = None,
+                      cache_isect: bool = False):
     """Kernel: NEE forward image + local MSE cotangent + unrolled adjoint.
 
     All per-ray values are (1, TR) f32 rows; per-sphere matrices are
@@ -351,7 +352,16 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
     def kernel(cam_ref, ctl_ref, pid_ref, px_ref, py_ref, wgt_ref, tgt_ref,
                sphc_ref, sphr_ref, qc_ref, qu_ref, qv_ref, pay_ref, lpay_ref,
-               img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref):
+               img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref,
+               *isect_scratch):
+        # cache_isect (same design as diffkernel_packed): (spp*mb, 1, TR)
+        # VMEM scratches holding phase 1's per-(sample, bounce) winner t /
+        # winner row / shadow visibility, so the phase-3 replay skips its
+        # closest-hit AND shadow re-trace — the two O(rows) candidate
+        # sweeps of a replay bounce. Values are bit-identical by
+        # construction (the replay repeats phase 1's exact sequence).
+        if cache_isect:
+            ct_ref, cr_ref, cv_ref = isect_scratch
         tr = pid_ref.shape[1]
         pid = pid_ref[0:1, :]
         px = px_ref[0:1, :]
@@ -1566,6 +1576,11 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                     st[0], st[1], st[2], st[3], st[4], st[5])
                 g = shade(sample_id, b.astype(jnp.uint32), st, best_t, row)
                 vis = shadow_vis(g)
+                if cache_isect:
+                    idx = s * mb + b
+                    ct_ref[idx] = best_t
+                    cr_ref[idx] = row.astype(jnp.float32)
+                    cv_ref[idx] = vis
                 dcr, dcg, dcb = color_adds(g, st, vis)
                 st2 = advance(g, st)
                 return st2 + (col[0] + dcr, col[1] + dcg, col[2] + dcb)
@@ -1613,10 +1628,17 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                   zeros_)
             saves = []
             for b in range(mb):                      # python-unrolled
-                best_t, row, _hit = closest_hit(
-                    st[0], st[1], st[2], st[3], st[4], st[5])
-                g = shade(sample_id, jnp.uint32(b), st, best_t, row)
-                vis = shadow_vis(g)
+                if cache_isect:
+                    idx = s * mb + b
+                    best_t = ct_ref[idx]
+                    row = cr_ref[idx].astype(jnp.int32)
+                    vis = cv_ref[idx]
+                    g = shade(sample_id, jnp.uint32(b), st, best_t, row)
+                else:
+                    best_t, row, _hit = closest_hit(
+                        st[0], st[1], st[2], st[3], st[4], st[5])
+                    g = shade(sample_id, jnp.uint32(b), st, best_t, row)
+                    vis = shadow_vis(g)
                 saves.append((st, best_t, row, vis, g))
                 st = advance(g, st)
             co = (zeros_,) * 9
@@ -1681,7 +1703,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
                spp, max_bounces, n_lights, nm, nee, sil, interpret,
                has_met=True, has_die=True, tr=TILE,
-               surr_s=None, surr_q=None):
+               surr_s=None, surr_q=None, cache_isect=False):
     """One pallas launch over the given lane arrays (possibly a mesh
     shard's slice — the grid is sized from the LOCAL lane count).
 
@@ -1694,7 +1716,8 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
     nl = tables["light_pay"].shape[1]
     kernel = _make_diff_kernel(spp, max_bounces, ns, nq, nm, nl,
                                n_lights, nee, sil, has_met, has_die,
-                               surr_s=surr_s, surr_q=surr_q)
+                               surr_s=surr_s, surr_q=surr_q,
+                               cache_isect=cache_isect)
     tile = lambda i: (0, i)
     const = lambda i: (0, 0)
     outs = pl.pallas_call(
@@ -1726,6 +1749,9 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
             jax.ShapeDtypeStruct((nl, 16), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((spp * max_bounces, 1, tr), jnp.float32)] * 3
+            if cache_isect else []),
         interpret=interpret,
         # TINYRT_DIFF_VMEM_CAP (bytes): calibration hook — setting a tiny
         # cap makes every compile fail with the kernel's TRUE scoped-VMEM
@@ -1889,11 +1915,20 @@ def render_value_and_grad(
 
     tables = diff_tables(scene, st)
     has_met, has_die = static_kind_flags(st)
+    # Phase-1 intersection cache (the packed kernel's cache_isect,
+    # classic layout): 3 x (spp*mb, 1, tr) f32 scratches. Enable when it
+    # fits the scoped-VMEM limit alongside the reverse sweep's own
+    # prediction; when it doesn't (e.g. spp=200 mb=20), the replay
+    # recomputes as before. Bit-identical either way.
+    cache_bytes = 3 * spp * max_bounces * tr * 4
+    cache_isect = bool(
+        _classic_scoped_bytes(max_bounces, st.ns + st.nq, tr)
+        * _SCOPED_SAFETY + cache_bytes <= _SCOPED_LIMIT)
     call = functools.partial(
         _diff_call, spp=spp, max_bounces=max_bounces,
         n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
         interpret=interpret, has_met=has_met, has_die=has_die, tr=tr,
-        surr_s=surr_s, surr_q=surr_q)
+        surr_s=surr_s, surr_q=surr_q, cache_isect=cache_isect)
     if mesh is None:
         img_cols, dsph, dquad, dmat, dlight, dmisc = call(
             tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols)
