@@ -243,7 +243,8 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                              nl: int, n_lights: int, nee: bool, sil: bool,
                              s_sub: int, l_lan: int,
                              has_met: bool = True, has_die: bool = True,
-                             cache_isect: bool = False):
+                             cache_isect: bool = False,
+                             light_prows: tuple = ()):
     na = ns + nq
     nlf = float(n_lights)
     n_s = sum(1 for k, _, _ in prims if k == "s")
@@ -879,6 +880,15 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
 
         q_list = tuple((off, prow) for k, off, prow in prims if k == "q")
         n_q = len(q_list)
+        # Soft-shadow occluder set: with a single light, the sampled
+        # light's OWN plane crossing sits exactly at tpar = dist and the
+        # (tpar < dist*(1-1e-3)) gate is always 0 — its vq is identically
+        # 1, so the whole per-quad chain is statically skipped (exact).
+        # With multiple lights, light quad A can still occlude a segment
+        # toward light B, so every quad stays in.
+        q_shadow = tuple(
+            (off, prow) for off, prow in q_list
+            if not (n_lights == 1 and prow in light_prows))
 
         def quad_scalars(off):
             return ((tb(off + 12), tb(off + 13), tb(off + 14)),
@@ -923,9 +933,12 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                         tpar=tpar, prx=prx, pry=pry, prz=prz,
                         s1=s1, s2=s2, s3=s3, s4=s4, cov=cov)
 
-        def _quad_cov_adj_one(qf, ccov, ax, ay, az, bx_, by_, bz_):
+        def _quad_cov_adj_one(qf, ccov, ax, ay, az, bx_, by_, bz_,
+                              need_seg=True):
             """ccov -> 9 quad grads (S,L) + segment a/b cotangents.
-            Mirror of diffkernel.quad_cov_adj with scalar quad params."""
+            Mirror of diffkernel.quad_cov_adj with scalar quad params.
+            need_seg=False skips the a/b cotangents (the silhouette
+            detaches rays, so they are discarded there)."""
             qcx, qcy, qcz = qf["qc"]
             qux, quy, quz = qf["qu"]
             qvx, qvy, qvz = qf["qv"]
@@ -977,6 +990,9 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             cqv_x = cqv_x + (cny * quz - cnz * quy)
             cqv_y = cqv_y + (cnz * qux - cnx * quz)
             cqv_z = cqv_z + (cnx * quy - cny * qux)
+            if not need_seg:
+                return ((cqc_x, cqc_y, cqc_z, cqu_x, cqu_y, cqu_z,
+                         cqv_x, cqv_y, cqv_z), None, None)
             ca = (cprx - cN * nx, cpry - cN * ny, cprz - cN * nz)
             cb = (cprx * tpar + cD * nx, cpry * tpar + cD * ny,
                   cprz * tpar + cD * nz)
@@ -984,11 +1000,16 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                      cqv_x, cqv_y, cqv_z), ca, cb)
 
         def quad_softshadow_v(g):
-            """Per-quad soft visibilities [(1 per real quad)] + product."""
+            """Per-quad soft visibilities (None for statically-skipped
+            light quads, aligned with q_list) + product."""
             nv = g["nee_vals"]
+            keep = {off for off, _ in q_shadow}
             vqs = []
             v = None
             for off, _prow in q_list:
+                if off not in keep:
+                    vqs.append(None)
+                    continue
                 qf = _quad_cov_one(off, g["p_x"], g["p_y"], g["p_z"],
                                    nv["wlx"], nv["wly"], nv["wlz"])
                 gate = (qf["den_ok"] & (qf["tpar"] > 1e-3)
@@ -1011,6 +1032,9 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
             cpx = cpy = cpz = z
             cwlx = cwly = cwlz = z
             for qi, (off, _prow) in enumerate(q_list):
+                if vqs[qi] is None:
+                    quad_grads.append((z,) * 9)
+                    continue
                 qf = _quad_cov_one(off, g["p_x"], g["p_y"], g["p_z"],
                                    nv["wlx"], nv["wly"], nv["wlz"])
                 gate = (qf["den_ok"] & (qf["tpar"] > 1e-3)
@@ -1052,7 +1076,7 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                 sgn_ev = jnp.where(wq_win, 1.0, -gate)
                 ccov = jnp.where(live, cp * sgn_ev, 0.0)
                 grads, _ca, _cb = _quad_cov_adj_one(
-                    qf, ccov, ox, oy, oz, dx, dy, dz)
+                    qf, ccov, ox, oy, oz, dx, dy, dz, need_seg=False)
                 out.append(grads)
             return out
 
@@ -1820,9 +1844,14 @@ def render_value_and_grad_packed(
         cache_bytes <= DIFF_ISECT_CACHE_BYTES
         and cache_bytes + _non_cache_vmem_bytes(max_bounces, s, l)
         <= DIFF_VMEM_LIMIT)
+    # padded-payload rows of the light quads (prims order): lets the
+    # kernel statically skip the single sampled light in the soft shadow
+    light_prows = tuple(
+        st.ns + st.quad_rows.index(r) for r in st.light_quad_rows)
     kernel = _make_packed_diff_kernel(
         spp, max_bounces, prims, light_off, ns, nq, nm, nl,
-        st.n_lights, nee, silhouette, s, l, has_met, has_die, cache_isect)
+        st.n_lights, nee, silhouette, s, l, has_met, has_die, cache_isect,
+        light_prows=light_prows)
     nw = tab.shape[1]
     tspec = lambda i: (0, i)
     const = lambda i: (0, 0)

@@ -97,6 +97,17 @@ DIFF_SCATTER_FIXED_OPS = 220.0   # per bounce: one-hot + concat builds
 DIFF_RAY_FIXED_OPS = 2.0 * RAY_FIXED_OPS + 40.0  # two raygens + cotangent
 REPLAY_CACHED_MULT = 0.45        # cached replay: shade only, no re-trace
 
+# Round-4 quad boundary gradients (edge silhouette + NEE soft shadow,
+# VERDICT r3 #2): every REAL quad adds a per-adjoint-bounce surrogate
+# chain (plane crossing + 4-edge sigmoid coverage, forward + 9-param
+# hand VJP, twice — primary segment and shadow segment). Calibrated
+# against the measured cost on v5e: enabling the surrogates added
+# 20.5 ms to the Cornell 300^2 spp16 mb8 packed step = 7.9e10 VPU ops
+# over 1.44e6 samples x 8 bounces x 23 quads ~= 300 ops/quad/bounce.
+# The sphere surrogates remain inside the historical 2.0x adjoint
+# multiplier (they predate the model's calibration).
+QUAD_BOUNDARY_OPS_PER_ROW = 300.0
+
 
 def ops_per_camera_ray_diff(n_sph_rows: int, n_quad_rows: int,
                             max_bounces: int, *,
@@ -121,6 +132,7 @@ def ops_per_camera_ray_diff(n_sph_rows: int, n_quad_rows: int,
         fwd_bounces * per_seg                      # phase 1 forward
         + max_bounces * replay_mult * per_seg      # phase 3 replay
         + max_bounces * 2.0 * per_seg              # adjoint chains
+        + max_bounces * n_quad_rows * QUAD_BOUNDARY_OPS_PER_ROW
         + max_bounces * DIFF_SCATTER_FIXED_OPS
     )
 
