@@ -8,12 +8,17 @@ The reference ships renders as de-facto golden artifacts (SURVEY.md §4):
   - raytracer/output/quad_test.png     five-quad scene 400x300, spp=10,
                                        mb=10 (hittable/quad.rs:98-151)
 
-Two further checked-in renders are deliberately NOT golden targets:
-  - /root/reference/output.png (RTiOW sphere+ground, 400x225) shows a
-    vertical sky *gradient*, but the surveyed renderer only supports a
-    constant background color (renderer.rs:21-35; cpu.rs:58-60) — the
-    image predates that snapshot and is unreproducible under its
-    semantics.
+  - /root/reference/output.png      RTiOW sphere+ground 400x225 under a
+                                       GRADIENT sky — unreproducible under
+                                       the surveyed snapshot's own
+                                       constant-background semantics
+                                       (renderer.rs:21-35), but round 4's
+                                       (bottom, top) sky background
+                                       reproduces it (presets.rtiow_sky;
+                                       spp/mb unrecorded — RTiOW defaults
+                                       assumed).
+
+One further checked-in render is deliberately NOT a golden target:
   - output/output_highres.png (1920x1080 RTiOW cover) depends on the
     random sphere placement of a scene-generation routine that is not in
     the snapshot (main.rs builds only the Cornell box), so the layout
@@ -79,6 +84,18 @@ CONFIGS = [
         f"{REF}/raytracer/output/quad_test.png",
         "five_quads", 400, 300, 10, 10,
         3.0, 12.0,
+    ),
+    (
+        # The artifact's spp/mb are unrecorded; RTiOW defaults (100, 50)
+        # assumed. A wholly diffuse scene, so tolerances sit near the
+        # other non-degenerate goldens'.
+        # Measured on v5e: mean diff [0.03 0.03 0.02], block p99 0.5 —
+        # a fully diffuse scene converges hard, so the tolerance is set
+        # tight (regression value).
+        "rtiow_sky",
+        f"{REF}/output.png",
+        "rtiow_sky", 400, 225, 100, 50,
+        1.0, 2.5,
     ),
 ]
 

@@ -69,7 +69,14 @@ def main():
                 scene, camera, target, spp=SPP, max_bounces=mb,
                 background=kw["background"], seed=0, static=st, mesh=m)
             return loss, g
-        return step
+
+        def run():
+            loss, _g = step()
+            # forced host read: axon's block_until_ready has been
+            # observed returning before the dispatch completes (bench.py
+            # carries the same workaround)
+            float(loss)
+        return run
 
     t_un = best(make_step(None))
     t_sh = best(make_step(mesh))

@@ -32,6 +32,46 @@ def test_megakernel_matches_modular(name):
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("name", ["three_spheres", "rtiow_sky"])
+def test_gradient_sky(name):
+    """Round-4 gradient sky ((2,3) [bottom, top] background, the
+    reference's output.png artifact class):
+
+    - three_spheres with top==bottom must be BIT-identical to the (3,)
+      constant path (the lerp's t*(top-b) term is exactly 0);
+    - rtiow_sky: megakernel (both layouts) matches the modular path."""
+    world, camera, kw = presets.PRESETS[name](width=16, height=12)
+    scene = world.build()
+    if name == "three_spheres":
+        bgc = jnp.asarray(kw["background"], jnp.float32)
+        bg2 = jnp.stack([bgc, bgc])
+        ref = trace_ops.render_image(
+            scene, camera, spp=2, max_bounces=3, background=bgc, seed=3)
+        dup = trace_ops.render_image(
+            scene, camera, spp=2, max_bounces=3, background=bg2, seed=3)
+        np.testing.assert_array_equal(np.asarray(dup), np.asarray(ref))
+        img = mk.render_image_megakernel(
+            scene, camera, spp=2, max_bounces=3, background=bg2, seed=3,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   atol=1e-6)
+    else:
+        bg = jnp.asarray(kw["background"], jnp.float32)
+        assert bg.shape == (2, 3)
+        ref = trace_ops.render_image(
+            scene, camera, spp=2, max_bounces=4, background=bg, seed=5)
+        # the sky must actually vary top-to-bottom in the miss region
+        top_row = np.asarray(ref)[0]
+        assert top_row.std(axis=0).max() > 1e-3
+        for packed in (False, True):
+            img = mk.render_image_megakernel(
+                scene, camera, spp=2, max_bounces=4,
+                background=kw["background"], seed=5, interpret=True,
+                packed=packed)
+            np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                       atol=1e-6)
+
+
 def test_regen_edge_budgets():
     """spp=1 and max_bounces=1 exercise the regeneration loop's fold /
     budget boundaries (first-iteration regen, immediate budget kill)."""

@@ -232,6 +232,34 @@ def random_spheres(
     return world, camera, kwargs
 
 
+def rtiow_sky(width: int = 400, height: int = 225) -> Tuple[World, Camera, Dict]:
+    """The reference's checked-in /root/reference/output.png artifact
+    class: RTiOW-style gray diffuse sphere + ground under the GRADIENT
+    SKY the surveyed snapshot itself dropped (renderer.rs:21-35 only
+    supports a constant background; the artifact predates that). The
+    background is the (bottom, top) pair lerped on the unit miss
+    direction's y — RTiOW's white -> (0.5, 0.7, 1.0) blend."""
+    world = World()
+    world.add_material("gray", Lambertian((0.5, 0.5, 0.5)))
+    world.add_geometry(Sphere((0.0, 0.0, -1.0), 0.5, "gray"))
+    world.add_geometry(Sphere((0.0, -100.5, -1.0), 100.0, "gray"))
+    camera = Camera.new(
+        focus_distance=1.0,
+        defocus_angle=0.0,
+        position=(0.0, 0.0, 0.0),
+        look_at=(0.0, 0.0, -1.0),
+        up=(0.0, 1.0, 0.0),
+        vertical_fov=90.0,
+        width=width,
+        height=height,
+    )
+    kwargs = dict(
+        max_bounces=50,
+        background=((1.0, 1.0, 1.0), (0.5, 0.7, 1.0)),
+    )
+    return world, camera, kwargs
+
+
 PRESETS = {
     "sphere_ground": sphere_ground,
     "three_spheres": three_spheres,
@@ -239,4 +267,5 @@ PRESETS = {
     "cornell_box": cornell_box,
     "cornell_spheres": cornell_spheres,
     "random_spheres": random_spheres,
+    "rtiow_sky": rtiow_sky,
 }

@@ -1840,6 +1840,12 @@ def render_value_and_grad(
     grid step). None = auto: 256 lanes, halved by _classic_tile until
     the reverse sweep's predicted scoped VMEM fits.
     """
+    if jnp.asarray(background, jnp.float32).ndim != 1:
+        raise ValueError(
+            "the fused diff kernels support constant backgrounds only; "
+            "gradient-sky ((2,3) [bottom, top]) scenes train through the "
+            "modular path (make_train_step / render_loss), which "
+            "differentiates the sky-lerped miss term via autodiff")
     if static is None:
         static = build_diff_static(scene)
     st = static

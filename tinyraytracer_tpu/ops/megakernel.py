@@ -205,7 +205,8 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
                   w_isq, w_ax, w_ay, w_az, w_kind,
                   w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
                   u1, u2, u3, u4, bg_r, bg_g, bg_b,
-                  has_met=True, has_die=True):
+                  has_met=True, has_die=True,
+                  bg2_r=None, bg2_g=None, bg2_b=None):
     """One bounce's shading given the winner payload (cpu.rs:47-62).
 
     Shape-agnostic: every array argument shares one shape — (1, TR) in the
@@ -245,7 +246,15 @@ def _shade_bounce(ox, oy, oz, dx, dy, dz,
     ny_ = ony * sgn
     nz_ = onz * sgn
 
-    # cpu.rs:58-60 miss -> background; cpu.rs:49-50 emission
+    # cpu.rs:58-60 miss -> background; cpu.rs:49-50 emission.
+    # Gradient sky (see _camera_vector): lerp bottom->top on the unit
+    # miss direction's y; bg2 == bg makes the lerp exactly bg (t*0 == 0),
+    # so constant scenes keep bit-identical images.
+    if bg2_r is not None:
+        tmix = 0.5 * (dy + 1.0)
+        bg_r = bg_r + tmix * (bg2_r - bg_r)
+        bg_g = bg_g + tmix * (bg2_g - bg_g)
+        bg_b = bg_b + tmix * (bg2_b - bg_b)
     mlf = miss_live.astype(jnp.float32)
     hlf = hit_live.astype(jnp.float32)
     col_r = col_r + mlf * tput_r * bg_r + hlf * tput_r * w_er
@@ -498,6 +507,7 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         dvx, dvy, dvz = cam(15), cam(16), cam(17)
         inv_w1, inv_h1 = cam(18), cam(19)
         bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
+        bg2_r, bg2_g, bg2_b = cam(24), cam(25), cam(26)  # sky top
         seed = ctl_ref[0, 0].astype(jnp.uint32)
         spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
 
@@ -740,7 +750,8 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                     w_isq, w_ax, w_ay, w_az, w_kind,
                     w_ar, w_ag, w_ab, w_fuzz, w_ior, w_er, w_eg, w_eb,
                     u1, u2, u3, u4, bg_r, bg_g, bg_b,
-                    has_met=has_met, has_die=has_die)
+                    has_met=has_met, has_die=has_die,
+                    bg2_r=bg2_r, bg2_g=bg2_g, bg2_b=bg2_b)
 
         zeros = lambda: jnp.zeros((1, tr), jnp.float32)
         ones = lambda: jnp.ones((1, tr), jnp.float32)
@@ -886,6 +897,13 @@ def _payload_matrix(scene: SceneArrays, cs: CompactScene) -> jnp.ndarray:
 
 
 def _camera_vector(camera: Camera, background) -> jnp.ndarray:
+    """(1, 32) SMEM camera/config row. `background` is (3,) constant or
+    (2, 3) [bottom, top] gradient sky (lerped on the unit miss
+    direction's y, renderer.rs's dropped sky capability — see
+    /root/reference/output.png). Slots 20:23 = bottom, 24:27 = top; a
+    constant stores top == bottom, and the kernels' lerp
+    `b + t*(top-b)` is then exactly `b` (t*0 == 0 in f32), so constant
+    scenes are bit-identical to the pre-sky kernels."""
     cam = np.zeros((1, 32), np.float32)
     cam[0, 0:3] = np.asarray(camera.position)
     cam[0, 3:6] = np.asarray(camera.viewport_upper_left)
@@ -895,7 +913,13 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
     cam[0, 15:18] = np.asarray(camera.defocus_disk_v)
     cam[0, 18] = 1.0 / (camera.width - 1)
     cam[0, 19] = 1.0 / (camera.height - 1)
-    cam[0, 20:23] = np.asarray(background, np.float32)
+    bg = np.asarray(background, np.float32)
+    if bg.shape == (2, 3):
+        cam[0, 20:23] = bg[0]
+        cam[0, 24:27] = bg[1]
+    else:
+        cam[0, 20:23] = bg
+        cam[0, 24:27] = bg
     return jnp.asarray(cam)
 
 
@@ -1284,7 +1308,9 @@ def render_image_megakernel(
     background,
     seed: int = 0,
     interpret: bool = False,
+    packed=None,
 ):
     """One-shot megakernel render. Returns (H, W, 3) linear radiance."""
     r = MegakernelRenderer(scene, camera, background, interpret=interpret)
-    return r.render(spp=spp, max_bounces=max_bounces, seed=seed)
+    return r.render(spp=spp, max_bounces=max_bounces, seed=seed,
+                    packed=packed)

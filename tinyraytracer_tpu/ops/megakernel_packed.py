@@ -141,6 +141,7 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
         dvx, dvy, dvz = cam(15), cam(16), cam(17)
         inv_w1, inv_h1 = cam(18), cam(19)
         bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
+        bg2_r, bg2_g, bg2_b = cam(24), cam(25), cam(26)  # sky top
         seed = ctl_ref[0, 0].astype(jnp.uint32)
         spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
 
@@ -269,7 +270,8 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
                 tput_r, tput_g, tput_b, col_r, col_g, col_b,
                 alive, best_t, hit, *w,
                 u1, u2, u3, u4, bg_r, bg_g, bg_b,
-                has_met=has_met, has_die=has_die)
+                has_met=has_met, has_die=has_die,
+                bg2_r=bg2_r, bg2_g=bg2_g, bg2_b=bg2_b)
 
         # Per-lane persistent-path sample loop, shared op for op with the
         # classic kernel (megakernel._regen_sample_loop) — one source for

@@ -96,6 +96,7 @@ def trace(
     bias).
     """
     r = origins.shape[0]
+    background = jnp.asarray(background, jnp.float32)
     # The scan carry is kept as (R,) *components*: a materialized (R, 3)
     # f32 buffer lane-pads 3 -> 128 on TPU (42x the bytes), and the carry
     # is stored to HBM every bounce — and, under remat, re-read by the
@@ -146,9 +147,18 @@ def trace(
         hit_live = alive & rec.hit
         miss_live = alive & ~rec.hit
 
-        # miss -> background, die (cpu.rs:58-60)
+        # miss -> background, die (cpu.rs:58-60). A (2, 3) background is
+        # the gradient sky [bottom, top], lerped on the unit miss
+        # direction's y — the renderer.rs-snapshot's dropped capability
+        # (cf. /root/reference/output.png's RTiOW sky).
+        if background.ndim == 2:
+            tmix = 0.5 * (d[:, 1:2] + 1.0)                   # (R, 1)
+            bg_ray = background[0][None, :] + tmix * (
+                background[1] - background[0])[None, :]
+        else:
+            bg_ray = background[None, :]
         color = color + jnp.where(
-            miss_live[:, None], throughput * background[None, :], 0.0
+            miss_live[:, None], throughput * bg_ray, 0.0
         )
         # hit -> emission (cpu.rs:49-50). Under NEE the previous *diffuse*
         # bounce already accounted for direct light — but only from the

@@ -43,7 +43,11 @@ class Renderer:
         self.samples_per_pixel = int(samples_per_pixel)
         self.max_bounces = int(max_bounces)
         self.progressbar = bool(progressbar)
-        # default background is black (renderer.rs:33)
+        # default background is black (renderer.rs:33). A ((r,g,b),
+        # (r,g,b)) pair is a GRADIENT SKY [bottom, top], lerped on the
+        # unit miss direction's y — the capability behind the reference's
+        # checked-in /root/reference/output.png, which its surveyed
+        # snapshot (constant background only) can no longer produce.
         self.background_color = (
             (0.0, 0.0, 0.0) if background_color is None else tuple(background_color)
         )
