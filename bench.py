@@ -137,11 +137,12 @@ def main() -> None:
 def _bench_large_n(result) -> None:
     """cfg4b (VERDICT r3 #5): the beyond-VMEM fallback, with a number.
 
-    4000 spheres exceed the megakernel's smallest-tile VMEM feasibility;
-    Renderer(auto) routes to the modular wavefront path with stackless
-    BVH traversal (ops/bvh.py — the ref's own large-N answer,
-    raytracer/src/hittable/bvh.rs:88-107). Measured through the public
-    Renderer so the bench covers exactly what a user gets."""
+    8000 spheres exceed the megakernel's smallest-tile VMEM feasibility
+    (the 4008-row case still compiles at the 128-lane floor —
+    megakernel.MAX_ROWS_X_TILE); Renderer(auto) routes to the modular
+    wavefront path with stackless BVH traversal (ops/bvh.py — the ref's
+    own large-N answer, raytracer/src/hittable/bvh.rs:88-107). Measured
+    through the public Renderer so the bench covers what a user gets."""
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.renderer import Renderer
 
@@ -149,7 +150,7 @@ def _bench_large_n(result) -> None:
 
     from tinyraytracer_tpu.ops import trace as trace_ops
 
-    w, h, spp, mb, n = 800, 450, 64, 50, 4000
+    w, h, spp, mb, n = 800, 450, 16, 50, 8000
     world, camera, kw = presets.random_spheres(width=w, height=h, n=n)
     r = Renderer(samples_per_pixel=spp, max_bounces=mb,
                  background_color=kw["background"], progressbar=False)
@@ -168,8 +169,8 @@ def _bench_large_n(result) -> None:
 
     once(0)
     dt = _best_of(once, n=2)
-    result["cfg4b_random4000_800x450_spp64"] = round(w * h * spp / dt, 1)
-    result["cfg4b_random4000_800x450_spp64_wall_s"] = round(dt, 3)
+    result["cfg4b_random8000_800x450_spp16"] = round(w * h * spp / dt, 1)
+    result["cfg4b_random8000_800x450_spp16_wall_s"] = round(dt, 3)
 
 
 def _bench_fwdbwd(result) -> None:

@@ -451,7 +451,8 @@ def _regen_sample_loop(px, spp, max_bounces, spp_offset,
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
                  n_clusters: int = 0, regen: bool = False,
-                 has_met: bool = True, has_die: bool = True):
+                 has_met: bool = True, has_die: bool = True,
+                 sky: bool = False):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
@@ -507,7 +508,10 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
         dvx, dvy, dvz = cam(15), cam(16), cam(17)
         inv_w1, inv_h1 = cam(18), cam(19)
         bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
-        bg2_r, bg2_g, bg2_b = cam(24), cam(25), cam(26)  # sky top
+        # sky top color (static flag: constant scenes compile the lerp
+        # out entirely, keeping the pre-sky op count bit-for-bit)
+        bg2_r, bg2_g, bg2_b = (
+            (cam(24), cam(25), cam(26)) if sky else (None, None, None))
         seed = ctl_ref[0, 0].astype(jnp.uint32)
         spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
 
@@ -926,14 +930,15 @@ def _camera_vector(camera: Camera, background) -> jnp.ndarray:
 def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                 spp, max_bounces, has_sph, has_quad, interpret,
                 early_exit=False, clusters=None, tile_rays=None,
-                regen=False, has_met=True, has_die=True):
+                regen=False, has_met=True, has_die=True, sky=False):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
     tr = tile_rays or TILE_RAYS
     rp = pid.shape[1]
     g = rp // tr
     n_clusters = clusters[0].shape[0] if clusters is not None else 0
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
-                          early_exit, n_clusters, regen, has_met, has_die)
+                          early_exit, n_clusters, regen, has_met, has_die,
+                          sky=sky)
     tile = lambda i: (0, i)
     n_scene = 9 + (2 if clusters is not None else 0)
     operands = [
@@ -1021,7 +1026,7 @@ def _block_pixel_arrays(width: int, height: int, tile_rays: int):
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
                      "early_exit", "tile_rays", "regen",
-                     "has_met", "has_die"),
+                     "has_met", "has_die", "sky"),
 )
 def _render_flat(
     cs: CompactScene,
@@ -1040,6 +1045,7 @@ def _render_flat(
     regen: bool = False,
     has_met: bool = True,
     has_die: bool = True,
+    sky: bool = False,
 ):
     tr = tile_rays or TILE_RAYS
     npix = width * height
@@ -1053,14 +1059,15 @@ def _render_flat(
                             jnp.asarray(py),
                             spp, max_bounces, has_sph, has_quad, interpret,
                             early_exit, clusters, tr, regen,
-                            has_met, has_die)
+                            has_met, has_die, sky=sky)
         return jnp.take(color, jnp.asarray(inv),
                         axis=1).T.reshape(height, width, 3)
     rp = ((npix + tr - 1) // tr) * tr
     pid, px, py = _pixel_arrays(width, height, rp)
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                         spp, max_bounces, has_sph, has_quad, interpret,
-                        early_exit, clusters, tr, regen, has_met, has_die)
+                        early_exit, clusters, tr, regen, has_met, has_die,
+                        sky=sky)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
@@ -1068,7 +1075,7 @@ def _render_flat(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "interpret",
                      "mesh", "early_exit", "tile_rays", "regen",
-                     "has_met", "has_die"),
+                     "has_met", "has_die", "sky"),
 )
 def _render_flat_sharded(
     cs: CompactScene,
@@ -1088,6 +1095,7 @@ def _render_flat_sharded(
     regen: bool = False,
     has_met: bool = True,
     has_die: bool = True,
+    sky: bool = False,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
@@ -1115,7 +1123,7 @@ def _render_flat_sharded(
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
                             interpret, early_exit, clusters, tr, regen,
-                            has_met, has_die)
+                            has_met, has_die, sky=sky)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
@@ -1169,6 +1177,9 @@ class MegakernelRenderer:
         # scenes (Cornell) where lanes survive to the budget and the exit
         # check only costs.
         self._bg_open = float(np.max(np.asarray(background))) > 0.01
+        # static sky flag: gradient background compiles the miss lerp in;
+        # constant scenes keep the pre-sky kernel bit-for-bit
+        self.sky = np.asarray(background, np.float32).shape == (2, 3)
         self._burst = None     # (key, jitted fn) cache for render_burst
 
     def render_burst(self, *, spp: int, max_bounces: int, seeds,
@@ -1220,14 +1231,16 @@ class MegakernelRenderer:
                     prims=prims, s=mkp.PACKED_SUBLANES,
                     l=mkp.PACKED_LANES, mesh=mesh,
                     interpret=self.interpret,
-                    has_met=self.has_met, has_die=self.has_die)
+                    has_met=self.has_met, has_die=self.has_die,
+                    sky=self.sky)
             return mkp._render_packed(
                 tab, self.cam_vec, ctl,
                 spp=spp, max_bounces=max_bounces,
                 width=self.camera.width, height=self.camera.height,
                 prims=prims, s=mkp.PACKED_SUBLANES, l=mkp.PACKED_LANES,
                 interpret=self.interpret,
-                has_met=self.has_met, has_die=self.has_die)
+                has_met=self.has_met, has_die=self.has_die,
+                sky=self.sky)
         if regen is None:
             # Sample regeneration is the default everywhere: each lane pays
             # ~ spp x mean path length instead of spp x (tile max path), a
@@ -1279,6 +1292,7 @@ class MegakernelRenderer:
                 regen=regen,
                 has_met=self.has_met,
                 has_die=self.has_die,
+                sky=self.sky,
             )
         return _render_flat(
             self.cs,
@@ -1296,6 +1310,7 @@ class MegakernelRenderer:
             regen=regen,
             has_met=self.has_met,
             has_die=self.has_die,
+            sky=self.sky,
         )
 
 

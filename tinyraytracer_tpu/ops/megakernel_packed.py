@@ -119,7 +119,8 @@ def scene_table(cs: CompactScene, pay) -> tuple[jnp.ndarray, tuple]:
 
 
 def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
-                        has_met: bool = True, has_die: bool = True):
+                        has_met: bool = True, has_die: bool = True,
+                        sky: bool = False):
     """Regeneration main loop on (S, L) state (see megakernel regen docs:
     each lane owns its own (sample, bounce) cursor and pays ~ spp x mean
     path length)."""
@@ -141,7 +142,9 @@ def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
         dvx, dvy, dvz = cam(15), cam(16), cam(17)
         inv_w1, inv_h1 = cam(18), cam(19)
         bg_r, bg_g, bg_b = cam(20), cam(21), cam(22)
-        bg2_r, bg2_g, bg2_b = cam(24), cam(25), cam(26)  # sky top
+        # sky top (static: constant scenes compile the lerp out)
+        bg2_r, bg2_g, bg2_b = (
+            (cam(24), cam(25), cam(26)) if sky else (None, None, None))
         seed = ctl_ref[0, 0].astype(jnp.uint32)
         spp_offset = ctl_ref[0, 1].astype(jnp.uint32)
 
@@ -330,7 +333,7 @@ def _packed_pixel_arrays(width: int, height: int, s: int, l: int,
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "prims",
-                     "s", "l", "interpret", "has_met", "has_die"),
+                     "s", "l", "interpret", "has_met", "has_die", "sky"),
 )
 def _render_packed(
     tab,
@@ -347,10 +350,12 @@ def _render_packed(
     interpret: bool = False,
     has_met: bool = True,
     has_die: bool = True,
+    sky: bool = False,
 ):
     pid, px, py, inv, g = _packed_pixel_arrays(width, height, s, l)
     nw = tab.shape[1]
-    kernel = _make_packed_kernel(spp, max_bounces, prims, has_met, has_die)
+    kernel = _make_packed_kernel(spp, max_bounces, prims, has_met, has_die,
+                                 sky=sky)
     tile = lambda i: (0, i)
     outs = pl.pallas_call(
         kernel,
@@ -376,7 +381,8 @@ def _render_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("spp", "max_bounces", "width", "height", "prims",
-                     "s", "l", "mesh", "interpret", "has_met", "has_die"),
+                     "s", "l", "mesh", "interpret", "has_met", "has_die",
+                     "sky"),
 )
 def _render_packed_sharded(
     tab,
@@ -394,6 +400,7 @@ def _render_packed_sharded(
     interpret: bool = False,
     has_met: bool = True,
     has_die: bool = True,
+    sky: bool = False,
 ):
     """Packed megakernel over a (tile x sample) mesh: pixel tile-blocks
     shard over "tile", spp splits over "sample" with a pmean — the same
@@ -414,7 +421,7 @@ def _render_packed_sharded(
     pid, px, py, inv, g = _packed_pixel_arrays(width, height, s, l, n_tile)
     nw = tab.shape[1]
     kernel = _make_packed_kernel(spp_local, max_bounces, prims,
-                                 has_met, has_die)
+                                 has_met, has_die, sky=sky)
     g_local = g // n_tile
     tile = lambda i: (0, i)
 
