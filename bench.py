@@ -140,37 +140,35 @@ def _bench_large_n(result) -> None:
     8000 spheres exceed the megakernel's smallest-tile VMEM feasibility
     (the 4008-row case still compiles at the 128-lane floor —
     megakernel.MAX_ROWS_X_TILE); Renderer(auto) routes to the modular
-    wavefront path with stackless BVH traversal (ops/bvh.py — the ref's
-    own large-N answer, raytracer/src/hittable/bvh.rs:88-107). Measured
-    through the public Renderer so the bench covers what a user gets."""
+    DENSE wavefront. The round-4 profile that set this policy: on TPU
+    the stackless BVH walk is traversal-bound (lockstep while_loop +
+    incoherent gathers) at ~1.5 krays/s on this scene, the dense
+    candidate test runs 30x faster — so dense IS the large-N fallback
+    (Renderer._maybe_bvh). Measured through the same modular entry the
+    Renderer uses so the bench covers what a user gets."""
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.renderer import Renderer
-
-    import time as _time
-
     from tinyraytracer_tpu.ops import trace as trace_ops
 
-    w, h, spp, mb, n = 800, 450, 16, 50, 8000
+    w, h, spp, mb, n = 400, 225, 2, 50, 8000
     world, camera, kw = presets.random_spheres(width=w, height=h, n=n)
     r = Renderer(samples_per_pixel=spp, max_bounces=mb,
                  background_color=kw["background"], progressbar=False)
     scene = world.build()
     assert not r._use_megakernel(scene), "cfg4b must hit the fallback path"
-    t0 = _time.perf_counter()
-    bvh = r._maybe_bvh(scene)   # host build, once (the ref rebuilds per
-    result["cfg4b_bvh_build_s"] = round(  # render too — timed separately)
-        _time.perf_counter() - t0, 3)
+    bvh = r._maybe_bvh(scene)
+    assert bvh is None, "TPU auto must pick the dense fallback (round 4)"
     bg = jnp.asarray(kw["background"], jnp.float32)
 
     def once(s):
         jax.block_until_ready(trace_ops.render_image(
             scene, camera, spp=spp, max_bounces=mb, background=bg,
-            seed=s, bvh=bvh))
+            seed=s))
 
     once(0)
     dt = _best_of(once, n=2)
-    result["cfg4b_random8000_800x450_spp16"] = round(w * h * spp / dt, 1)
-    result["cfg4b_random8000_800x450_spp16_wall_s"] = round(dt, 3)
+    result["cfg4b_random8000_400x225_spp2"] = round(w * h * spp / dt, 1)
+    result["cfg4b_random8000_400x225_spp2_wall_s"] = round(dt, 3)
 
 
 def _bench_fwdbwd(result) -> None:

@@ -82,6 +82,17 @@ class Renderer:
         if self.accelerator == "auto":
             import numpy as _np
 
+            # On TPU the stackless-threaded BVH walk is traversal-bound:
+            # a lockstep (R,) while_loop whose trip count is the WORST
+            # ray's node-visit count, with per-step incoherent gathers —
+            # measured 1.5 krays/s at 8000 spheres vs 47 krays/s for the
+            # branch-free dense candidate test on the same scene (round
+            # 4). Auto therefore never picks the BVH on TPU: scenes the
+            # megakernel can't hold fall back to modular DENSE, and the
+            # BVH stays the CPU default (where per-ray branching wins)
+            # and an explicit accelerator="bvh" opt-in.
+            if jax.devices()[0].platform == "tpu":
+                return None
             n_valid = int(_np.asarray(scene.sph_valid).sum()) + int(
                 _np.asarray(scene.quad_valid).sum()
             )
