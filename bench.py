@@ -135,40 +135,36 @@ def main() -> None:
 
 
 def _bench_large_n(result) -> None:
-    """cfg4b (VERDICT r3 #5): the beyond-VMEM fallback, with a number.
+    """cfg4b (VERDICT r3 #5): the beyond-VMEM large-N path, with a number.
 
-    8000 spheres exceed the megakernel's smallest-tile VMEM feasibility
-    (the 4008-row case still compiles at the 128-lane floor —
-    megakernel.MAX_ROWS_X_TILE); Renderer(auto) routes to the modular
-    DENSE wavefront. The round-4 profile that set this policy: on TPU
-    the stackless BVH walk is traversal-bound (lockstep while_loop +
-    incoherent gathers) at ~1.5 krays/s on this scene, the dense
-    candidate test runs 30x faster — so dense IS the large-N fallback
-    (Renderer._maybe_bvh). Measured through the same modular entry the
-    Renderer uses so the bench covers what a user gets."""
+    8000 spheres exceed the monolithic megakernel's (NA, TR) candidate
+    matrix VMEM cap (the 4008-row case still compiles at the 128-lane
+    floor — megakernel.MAX_ROWS_X_TILE); Renderer(auto) now runs the
+    ROW-STREAMED megakernel (round 4: primitive blocks fold through the
+    tile via a fori over dynamic sublane slices; exact — bit-identical
+    to the monolithic kernel). The round-4 profile behind the routing:
+    BVH walk 1.5 krays/s (traversal-bound: lockstep while_loop paced by
+    the worst ray + incoherent gathers), dense modular 47 krays/s,
+    row-streamed megakernel 800-1020 krays/s on this scene. Measured
+    through the public Renderer so the bench covers what a user gets."""
     from tinyraytracer_tpu.models import presets
     from tinyraytracer_tpu.renderer import Renderer
-    from tinyraytracer_tpu.ops import trace as trace_ops
 
-    w, h, spp, mb, n = 400, 225, 2, 50, 8000
+    w, h, spp, mb, n = 400, 225, 16, 50, 8000
     world, camera, kw = presets.random_spheres(width=w, height=h, n=n)
     r = Renderer(samples_per_pixel=spp, max_bounces=mb,
                  background_color=kw["background"], progressbar=False)
     scene = world.build()
-    assert not r._use_megakernel(scene), "cfg4b must hit the fallback path"
-    bvh = r._maybe_bvh(scene)
-    assert bvh is None, "TPU auto must pick the dense fallback (round 4)"
-    bg = jnp.asarray(kw["background"], jnp.float32)
+    assert r._use_megakernel(scene), "round 4: large-N runs the megakernel"
 
     def once(s):
-        jax.block_until_ready(trace_ops.render_image(
-            scene, camera, spp=spp, max_bounces=mb, background=bg,
-            seed=s))
+        r.seed = s
+        jax.block_until_ready(r.render_array(camera, scene))
 
     once(0)
     dt = _best_of(once, n=2)
-    result["cfg4b_random8000_400x225_spp2"] = round(w * h * spp / dt, 1)
-    result["cfg4b_random8000_400x225_spp2_wall_s"] = round(dt, 3)
+    result["cfg4b_random8000_400x225_spp16"] = round(w * h * spp / dt, 1)
+    result["cfg4b_random8000_400x225_spp16_wall_s"] = round(dt, 3)
 
 
 def _bench_fwdbwd(result) -> None:

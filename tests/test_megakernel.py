@@ -72,6 +72,26 @@ def test_gradient_sky(name):
                                        atol=1e-6)
 
 
+def test_row_chunked_matches_monolithic():
+    """Round-4 row-streamed mode (large-N scenes beyond the monolithic
+    (NA, TR) candidate matrix's VMEM): the fori-folded candidate sweep +
+    chunked payload gather must be BIT-identical to the monolithic
+    kernel — the strict-< fold reproduces min + first-index-at-min
+    exactly, including clamped tail blocks (60 spheres, chunk 16: four
+    blocks minus a 4-row overlap re-test). Verified equal on TPU
+    hardware as well (2000 spheres, chunk 256)."""
+    world, cam, kw = presets.random_spheres(width=24, height=16, n=60)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, cam, kw["background"], interpret=True)
+    mono = r.render(spp=2, max_bounces=5, seed=3)
+    ctl = jnp.asarray([[3, 0, 0, 0]], jnp.int32)
+    chunk = mk._render_flat(
+        r.cs, r.pay, r.cam_vec, ctl, spp=2, max_bounces=5,
+        width=24, height=16, interpret=True, regen=True,
+        has_met=r.has_met, has_die=r.has_die, sky=r.sky, row_chunk=16)
+    np.testing.assert_array_equal(np.asarray(chunk), np.asarray(mono))
+
+
 def test_regen_edge_budgets():
     """spp=1 and max_bounces=1 exercise the regeneration loop's fold /
     budget boundaries (first-iteration regen, immediate budget kill)."""

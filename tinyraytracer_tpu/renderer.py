@@ -87,10 +87,10 @@ class Renderer:
             # ray's node-visit count, with per-step incoherent gathers —
             # measured 1.5 krays/s at 8000 spheres vs 47 krays/s for the
             # branch-free dense candidate test on the same scene (round
-            # 4). Auto therefore never picks the BVH on TPU: scenes the
-            # megakernel can't hold fall back to modular DENSE, and the
-            # BVH stays the CPU default (where per-ray branching wins)
-            # and an explicit accelerator="bvh" opt-in.
+            # 4). Auto therefore never picks the BVH on TPU — large
+            # scenes run the row-streamed megakernel (_use_megakernel),
+            # and this modular path (accelerator="bvh"/"none") keeps
+            # the BVH only as the CPU default and an explicit opt-in.
             if jax.devices()[0].platform == "tpu":
                 return None
             n_valid = int(_np.asarray(scene.sph_valid).sum()) + int(
@@ -111,26 +111,12 @@ class Renderer:
             return False
         if jax.devices()[0].platform != "tpu":
             return False
-        if scene is not None:
-            # Very large scenes exceed the megakernel's VMEM feasibility
-            # even at its smallest ray tile — auto falls back to the
-            # modular BVH path (the reference's own large-N strategy,
-            # bvh.rs). Count the rows the kernel actually tests: each
-            # kind's VALID primitives padded to 8 sublanes, absent kinds
-            # compiled out (matches MegakernelRenderer.render /
-            # compact_scene — the SceneArrays' own 128-padding would
-            # overcount and mis-route feasible scenes to the slow path).
-            import numpy as np
-
-            from tinyraytracer_tpu.ops.megakernel import auto_tile_rays
-
-            def pad8(n: int) -> int:
-                return ((n + 7) // 8) * 8 if n else 0
-
-            n_rows = (pad8(int(np.asarray(scene.sph_valid).sum()))
-                      + pad8(int(np.asarray(scene.quad_valid).sum())))
-            if not auto_tile_rays(max(n_rows, 8)):
-                return False
+        # No scene-size ceiling (round 4): scenes whose (NA, TR)
+        # candidate matrix busts the monolithic kernel's VMEM run the
+        # ROW-STREAMED megakernel (MegakernelRenderer.render engages
+        # row_chunk when auto_tile_rays fails) — measured 8000 spheres
+        # at 0.80-1.02 Mrays/s, 17-22x the dense modular fallback and
+        # ~600x the BVH walk this class previously routed to.
         return True
 
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
