@@ -8,9 +8,15 @@ with the TRAINED subset, not the scene (VERDICT r3 #1; measured: a
 128-sphere lit scene steps 235 -> 169 ms at 300^2 spp16 mb8 on v5e
 with 8 trained spheres).
 
-This demo builds a 128-sphere lit scene, offsets ONE sphere by 2.5
-units, and recovers its position with the classic fused kernel while
-every other primitive stays pinned.
+This demo builds a 128-sphere lit scene, offsets the big DIFFUSE
+sphere by 1.5 units, and recovers its position with the classic fused
+kernel while every other primitive stays pinned. (Diffuse appearance is
+the well-posed case — a glass sphere's refraction-dominated pixels and
+out-of-frame offsets under the scene's narrow 20-degree camera both
+flatten the loss landscape.) (The scene's
+narrow 20-degree camera means large offsets push a sphere out of frame,
+where the silhouette surrogate has nothing to pull on — keep offsets
+in-view.)
 
 Run (TPU; CPU works via --interpret but is slow):
     python examples/manysphere_fit.py --steps 80
@@ -51,13 +57,13 @@ def build(offset, n=128, width=128, height=128):
     world.add_geometry(Quad((-4.0, 11.99, -4.0), (8.0, 0.0, 0.0),
                             (0.0, 0.0, 8.0), "lamp"))
     scene = world.build()
-    # move the big metal sphere (at (4, 1, 0)) by `offset` in x
+    # move the big diffuse sphere (at (-4, 1, 0)) along z
     centers = np.asarray(scene.sph_center)
     valid = np.asarray(scene.sph_valid)
     rows = np.nonzero(valid)[0]
     target_row = int(rows[np.argmin(np.linalg.norm(
-        centers[rows] - np.array([4.0, 1.0, 0.0]), axis=-1))])
-    scene = scene.replace(sph_center=scene.sph_center.at[target_row, 0].add(
+        centers[rows] - np.array([-4.0, 1.0, 0.0]), axis=-1))])
+    scene = scene.replace(sph_center=scene.sph_center.at[target_row, 2].add(
         float(offset)))
     return scene, cam, kw, target_row
 
@@ -75,15 +81,15 @@ def main():
     target = trace_ops.render_image(
         scene_t, cam, spp=48, max_bounces=4, background=bg, seed=1,
         nee=True)
-    scene0, _, _, _ = build(2.5, width=args.size, height=args.size)
+    scene0, _, _, _ = build(1.5, width=args.size, height=args.size)
     true_c = np.asarray(scene_t.sph_center)[row]
     st = build_diff_static(scene0)
     print(f"scene: {len(st.sph_rows)} spheres; training row {row} only "
-          f"(start offset 2.5)", flush=True)
+          f"(start offset 1.5)", flush=True)
 
     sched = optax.join_schedules(
-        [optax.constant_schedule(0.15),
-         optax.exponential_decay(0.15, transition_steps=10,
+        [optax.constant_schedule(0.08),
+         optax.exponential_decay(0.08, transition_steps=10,
                                  decay_rate=0.5)],
         boundaries=[max(10, args.steps // 2)])
     step, (params, opt) = inverse.make_fused_train_step(
@@ -104,7 +110,7 @@ def main():
     got = np.asarray(params["sph_center"])[row]
     err = float(np.linalg.norm(got - true_c))
     n_rays = args.size * args.size * args.spp
-    print(f"final position error: {err:.3f} (started 2.5); "
+    print(f"final position error: {err:.3f} (started 1.5); "
           f"{args.steps} steps in {dt:.1f}s "
           f"({n_rays * args.steps / dt / 1e6:.2f} Mrays/s incl. compile "
           "amortization)")

@@ -426,17 +426,37 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         # Mosaic lowers them as views). `rows` is the kernel row id per
         # sublane for winner matching; `scat` the (n_full, k) one-hot
         # that scatters reduced (k, 8/16) grads back to full table rows.
+        def _pad_rows(idx):
+            """Pad a row subset to a whole sublane group (min 8) with
+            inert None rows: sub-8 (k, 1) constants trip a Mosaic
+            concatenate layout bug (measured at k=1), and aligned
+            sublane groups lay out better regardless. Pads gather row 0
+            (finite values), carry id -1 (matches no winner), valid 0
+            (every surrogate term gated off) and an all-zero scatter
+            column (contribute nothing) — exactly inert."""
+            k = len(idx)
+            kp = max(8, ((k + 7) // 8) * 8)
+            return tuple(idx) + (None,) * (kp - k)
+
         def _ids_const(idx):
             return jnp.concatenate(
-                [jnp.full((1, 1), int(i), jnp.int32) for i in idx], axis=0)
+                [jnp.full((1, 1), -1 if i is None else int(i), jnp.int32)
+                 for i in idx], axis=0)
 
         def _scat_const(n_full, idx):
             col = jax.lax.broadcasted_iota(jnp.int32, (n_full, 1), 0)
             return jnp.concatenate(
-                [(col == int(i)).astype(jnp.float32) for i in idx], axis=1)
+                [(col == (-1 if i is None else int(i))).astype(jnp.float32)
+                 for i in idx], axis=1)
 
         def _gather_rows(a, idx):
-            return jnp.concatenate([a[i:i + 1] for i in idx], axis=0)
+            return jnp.concatenate(
+                [a[0:1] if i is None else a[i:i + 1] for i in idx], axis=0)
+
+        def _pad_mask(idx):
+            return jnp.concatenate(
+                [jnp.full((1, 1), 0.0 if i is None else 1.0, jnp.float32)
+                 for i in idx], axis=0)
 
         scols = dict(scx=scx, scy=scy, scz=scz, sr=sr, val=sval,
                      rows=srow_ids, k=ns, scat=None)
@@ -445,14 +465,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         elif len(surr_s) == 0:
             scols_t = None
         else:
+            sp = _pad_rows(surr_s)
             scols_t = dict(
-                scx=_gather_rows(scx, surr_s),
-                scy=_gather_rows(scy, surr_s),
-                scz=_gather_rows(scz, surr_s),
-                sr=_gather_rows(sr, surr_s),
-                val=_gather_rows(sval, surr_s),
-                rows=_ids_const(surr_s), k=len(surr_s),
-                scat=_scat_const(ns, surr_s))
+                scx=_gather_rows(scx, sp),
+                scy=_gather_rows(scy, sp),
+                scz=_gather_rows(scz, sp),
+                sr=_gather_rows(sr, sp),
+                val=_gather_rows(sval, sp) * _pad_mask(sp),
+                rows=_ids_const(sp), k=len(sp),
+                scat=_scat_const(ns, sp))
         qcols = dict(qcx=qcx, qcy=qcy, qcz=qcz,
                      qux=qux, quy=quy, quz=quz,
                      qvx=qvx, qvy=qvy, qvz=qvz,
@@ -464,13 +485,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         elif len(surr_q) == 0:
             qcols_t = None
         else:
+            qp = _pad_rows(surr_q)
             qcols_t = dict(
-                {kk_: _gather_rows(qcols[kk_], surr_q)
+                {kk_: _gather_rows(qcols[kk_], qp)
                  for kk_ in ("qcx", "qcy", "qcz", "qux", "quy", "quz",
                              "qvx", "qvy", "qvz", "qnx", "qny", "qnz",
-                             "qdp", "inv_nn", "wx", "wy", "wz", "val")},
-                rows=_ids_const(surr_q), k=len(surr_q),
-                scat=_scat_const(nq, surr_q))
+                             "qdp", "inv_nn", "wx", "wy", "wz")},
+                val=_gather_rows(qcols["val"], qp) * _pad_mask(qp),
+                rows=_ids_const(qp), k=len(qp),
+                scat=_scat_const(nq, qp))
 
         def closest_hit(ox, oy, oz, dx, dy, dz):
             """-> best_t (1,TR), row i32 (1,TR), hit bool (1,TR)."""
