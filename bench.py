@@ -256,6 +256,36 @@ def _bench_northstar(result) -> None:
             result["fwdbwd_northstar_cornell600_spp200_mb20"],
             st3.ns, st3.nq, nmb, fwd_bounces=mean_b3), 3)
 
+    # --- the config-5-SHAPED north-star (VERDICT r4 #1b) -----------------
+    # BASELINE config 5 trains sphere positions + albedos on the Cornell
+    # sphere scene; nothing trains quad geometry, so the class-scoped
+    # train step compiles every quad boundary-surrogate chain out
+    # (make_fused_train_step auto-derives the scope from `trainable`).
+    # This is the representative inverse-rendering workload; the
+    # all-trainable number above stays recorded for comparability.
+    world5, camera5, kw5 = presets.cornell_spheres(width=nw_, height=nh_)
+    scene5 = world5.build()
+    step5, (p5, o5) = make_fused_train_step(
+        scene5, camera5, target3, spp=nspp, max_bounces=nmb,
+        background=kw5["background"], seed=0,
+        trainable=("sph_center", "mat_albedo"),
+    )
+    p5, o5, _ = step5(p5, o5, 0)
+    jax.block_until_ready((p5, o5))
+    times5 = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        p5, o5, loss5 = step5(p5, o5, i + 1)
+        float(loss5)  # forced host read (see fwd+bwd loop above)
+        times5.append(time.perf_counter() - t0)
+    c5_dt = min(times5)
+    result["fwdbwd_northstar_cfg5_cornell600_spp200_mb20"] = round(
+        nw_ * nh_ * nspp / c5_dt, 1)
+    result["fwdbwd_northstar_cfg5_step_s"] = round(c5_dt, 3)
+    result["fwdbwd_northstar_cfg5_config"] = (
+        "cornell_spheres 600x600 spp=200 mb=20, trainable="
+        "sph_center+mat_albedo (quad surrogates class-scoped out)")
+
 
 if __name__ == "__main__":
     main()

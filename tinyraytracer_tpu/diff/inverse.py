@@ -382,6 +382,21 @@ def make_fused_train_step(
     Material fields are unaffected (they are winner-indexed, not
     row-surrogate work). Forces the classic kernel.
 
+    Subset-mode caveat (ADVICE r4): the soft-shadow ratio clamp then
+    sees only the SUBSET rows' visibility product, so when an UNTRAINED
+    occluder fully blocks the light (where the dense path's v<1e-3
+    clamp would suppress the gradient) trained rows still receive
+    full-strength soft-shadow gradients. Fits whose trained geometry
+    sits in shadows cast by pinned scenery can see noisier steps there;
+    the adaptive_clip/grad_chunks aggregators bound the damage.
+
+    When trainable_rows is NOT given but `trainable` is, the surrogate
+    scope is auto-derived per primitive CLASS (VERDICT r4 #1): a class
+    none of whose geometry fields appear in `trainable` has its
+    surrogate chains compiled out of the kernel (both kernels support
+    class scopes — packed stays eligible). Training sph_center on a
+    quad-walled Cornell thus pays no quad surrogate cost.
+
     static: optional precomputed build_diff_static(scene_template) — the
     host-side scene compaction; pass it when the caller already built one
     (fit's auto-engine probe) to avoid repeating the analysis.
@@ -438,6 +453,22 @@ def make_fused_train_step(
          "quad_corner", "quad_u", "quad_v"} & trainset)
     surr_rows = None
     row_mask = None
+    if trainable_rows is None and trainset is not None:
+        # VERDICT r4 #1: derive the boundary-surrogate scope from what is
+        # trained. A class whose geometry fields are all untrained gets
+        # its surrogate chains (NEE soft shadow + silhouette) compiled
+        # out of the kernel — they feed only gradient rows the trainset
+        # filter below zeroes (plus surrogate-artifact cotangents into
+        # the shared ray chain, the same terms the explicit
+        # trainable_rows subset mode drops). On the config-5 task
+        # (trainable sph_center+mat_albedo on a quad-walled Cornell)
+        # this removes the all-quad surrogate cost that dominated the
+        # round-4 north-star step.
+        sph_geo = bool({"sph_center", "sph_radius"} & trainset)
+        quad_geo = bool({"quad_corner", "quad_u", "quad_v"} & trainset)
+        if not (sph_geo and quad_geo):
+            surr_rows = {"sph": None if sph_geo else (),
+                         "quad": None if quad_geo else ()}
     if trainable_rows is not None:
         surr_rows = {"sph": tuple(int(r) for r in
                                   trainable_rows.get("sph", ())),
@@ -616,9 +647,14 @@ def fit(
 
             fused_static = build_diff_static(scene_template)
             # one shared helper — the probe can never diverge from what
-            # render_value_and_grad's own routing will accept (ADVICE r3)
+            # render_value_and_grad's own routing will accept (ADVICE r3).
+            # Explicit trainable_rows subsets force the classic kernel,
+            # so probe its bound alone in that case (ADVICE r4): packed
+            # feasibility must not promise an engine the dispatch would
+            # reject at the first step.
             use_fused = fused_engine_feasible(
-                fused_static, mesh=mesh, max_bounces=max_bounces)
+                fused_static, mesh=mesh, max_bounces=max_bounces,
+                classic_only=trainable_rows is not None)
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
         factory = functools.partial(make_fused_train_step,

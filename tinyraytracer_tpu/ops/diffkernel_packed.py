@@ -94,9 +94,8 @@ DIFF_PACKED_MAX_PRIMS = int(
 # 63 spheres the packed kernel measured 13x SLOWER than the classic
 # (whose (ns, TR) surrogate rows scale as dense sublanes): 32.1 s vs
 # 2.4 s per step at 200^2 spp=8 mb=6 on v5e. Auto routing falls back to
-# the classic kernel above this many spheres (mesh-sharded calls keep
-# packed — the classic kernel has no mesh path, and slow beats
-# unavailable).
+# the classic kernel above this many spheres; mesh-sharded many-sphere
+# fits route to the classic kernel's own mesh path (added round 4).
 DIFF_PACKED_MAX_SPHERES = int(
     _os.environ.get("TINYRT_DIFF_PACKED_MAX_SPHERES", "16"))
 
@@ -244,10 +243,20 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
                              s_sub: int, l_lan: int,
                              has_met: bool = True, has_die: bool = True,
                              cache_isect: bool = False,
-                             light_prows: tuple = ()):
+                             light_prows: tuple = (),
+                             surr_sph: bool = True,
+                             surr_quad: bool = True):
     na = ns + nq
     nlf = float(n_lights)
-    n_s = sum(1 for k, _, _ in prims if k == "s")
+    # surr_sph / surr_quad (VERDICT r4 #1): class-level boundary-surrogate
+    # scope. False compiles that class's soft-shadow + silhouette
+    # surrogate chains out of the adjoint entirely (its soft visibility
+    # factor is treated as 1, same convention as diffkernel.py's
+    # scols_t/qcols_t=None subset path) — used when the fit trains no
+    # geometry of that class, where those chains feed only grads the
+    # caller masks to zero anyway.
+    n_s_all = sum(1 for k, _, _ in prims if k == "s")
+    n_s = n_s_all if surr_sph else 0
     sl = s_sub * l_lan
 
     def dot3(ax, ay, az, bx, by, bz):
@@ -878,7 +887,10 @@ def _make_packed_diff_kernel(spp: int, mb: int, prims: tuple,
         # table's precomputed n/av/bv rows feed detached tests only).
         _WQE = 0.05
 
-        q_list = tuple((off, prow) for k, off, prow in prims if k == "q")
+        # surr_quad=False: class-level scope (see factory docnote) — the
+        # empty q_list statically drops every per-quad surrogate chain.
+        q_list = tuple((off, prow) for k, off, prow in prims
+                       if k == "q") if surr_quad else ()
         n_q = len(q_list)
         # Soft-shadow occluder set: with a single light, the sampled
         # light's OWN plane crossing sits exactly at tpar = dist and the
@@ -1787,11 +1799,22 @@ def render_value_and_grad_packed(
     static: DiffStatic | None = None,
     tile: tuple | None = None,
     mesh=None,
+    surr_sph: bool = True,
+    surr_quad: bool = True,
 ):
     """Packed-layout drop-in for diffkernel.render_value_and_grad.
 
     tile: optional (sublanes, lanes) override of the module defaults —
     used by tests to keep interpret-mode tiles small.
+
+    surr_sph / surr_quad (VERDICT r4 #1): class-level boundary-surrogate
+    scope — False statically compiles that class's soft-shadow +
+    silhouette surrogate chains out of the adjoint (the class's soft
+    visibility factor becomes 1, the same convention as the classic
+    kernel's empty row subset). Correct when the fit trains no geometry
+    of that class: the skipped chains feed only that class's geometry
+    gradient rows (plus surrogate-artifact cotangents into the shared
+    ray chain, the same terms diffkernel.py's subset mode drops).
 
     mesh: optional jax.sharding.Mesh. Data-parallel training over the
     pixel-tile blocks (BASELINE config 5's "sharded across >=2 hosts"):
@@ -1851,7 +1874,7 @@ def render_value_and_grad_packed(
     kernel = _make_packed_diff_kernel(
         spp, max_bounces, prims, light_off, ns, nq, nm, nl,
         st.n_lights, nee, silhouette, s, l, has_met, has_die, cache_isect,
-        light_prows=light_prows)
+        light_prows=light_prows, surr_sph=surr_sph, surr_quad=surr_quad)
     nw = tab.shape[1]
     tspec = lambda i: (0, i)
     const = lambda i: (0, 0)

@@ -226,7 +226,7 @@ def _silhouette_factor(scene, o, d, t_sel, j, alive):
 
         cov_s  = sigmoid((|r_s| - dmin_s) / w_s)          (hit event)
         p_s    = cov_s   if the ray's winner is sphere s
-                 1-cov_s otherwise (sphere s in front failed to occlode)
+                 1-cov_s otherwise (sphere s in front failed to occlude)
 
     Quads (four [0,1) planar-coordinate edges, quad.rs:33-54): evaluate
     the ray's hit point on the quad's plane, take its planar coords

@@ -12,6 +12,7 @@ exactly as thread count never changed the reference's output.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -76,6 +77,14 @@ class Renderer:
     # Valid-primitive count above which "auto" switches to the BVH.
     _BVH_AUTO_THRESHOLD = 192
 
+    # Row ceiling for the (row-streamed) megakernel on TPU: its
+    # VMEM-resident per-row state is ~120 bytes (scene columns + the
+    # (NA, 16) transposed payload), so ~48 MB of a v5e's VMEM supports
+    # ~400k rows; beyond that "auto" routes to the modular path rather
+    # than fail at compile (ADVICE r4).
+    _MEGAKERNEL_MAX_ROWS = int(
+        os.environ.get("TINYRT_MEGAKERNEL_MAX_ROWS", "400000"))
+
     def _maybe_bvh(self, scene: SceneArrays):
         if self.accelerator == "none":
             return None
@@ -111,12 +120,21 @@ class Renderer:
             return False
         if jax.devices()[0].platform != "tpu":
             return False
-        # No scene-size ceiling (round 4): scenes whose (NA, TR)
-        # candidate matrix busts the monolithic kernel's VMEM run the
-        # ROW-STREAMED megakernel (MegakernelRenderer.render engages
-        # row_chunk when auto_tile_rays fails) — measured 8000 spheres
-        # at 0.80-1.02 Mrays/s, 17-22x the dense modular fallback and
-        # ~600x the BVH walk this class previously routed to.
+        # Scenes whose (NA, TR) candidate matrix busts the monolithic
+        # kernel's VMEM run the ROW-STREAMED megakernel
+        # (MegakernelRenderer.render engages row_chunk when
+        # auto_tile_rays fails) — measured 8000 spheres at 0.80-1.02
+        # Mrays/s, 17-22x the dense modular fallback and ~600x the BVH
+        # walk this class previously routed to. One ceiling remains
+        # (ADVICE r4): the row-streamed kernel still keeps every scene
+        # column + the (NA, 16) transposed payload VMEM-resident (~120
+        # bytes/row), so beyond ~VMEM/120 rows even it cannot compile —
+        # route those to the modular path instead of failing.
+        if scene is not None:
+            n_rows = int(scene.sph_center.shape[0]) + int(
+                scene.quad_corner.shape[0])
+            if n_rows > self._MEGAKERNEL_MAX_ROWS:
+                return False
         return True
 
     def render_array(self, camera: Camera, scene: SceneArrays) -> jax.Array:
