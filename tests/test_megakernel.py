@@ -339,3 +339,16 @@ def test_megakernel_matches_modular_random_scene(fuzz_seed):
         img = r.render(spp=2, max_bounces=4, seed=7, **kwargs)
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                    atol=1e-6, err_msg=str(kwargs))
+
+
+def test_render_burst_matches_single():
+    """render_burst bakes N seed-renders into one XLA program; each frame
+    must be bit-identical to the corresponding single render (the public
+    Renderer.render_batch route, VERDICT r4 #6)."""
+    world, cam, kw = presets.sphere_ground(16, 12)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, cam, kw["background"], interpret=True)
+    burst = np.asarray(r.render_burst(spp=2, max_bounces=3, seeds=[0, 4]))
+    for i, s in enumerate((0, 4)):
+        single = np.asarray(r.render(spp=2, max_bounces=3, seed=s))
+        np.testing.assert_array_equal(burst[i], single)

@@ -109,3 +109,64 @@ def test_image_save_native_failure_surfaces(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="tinyrt_write_png"):
         img.save(str(p))
     assert not p.exists()
+
+
+def test_render_batch_matches_individual():
+    """Renderer.render_batch (VERDICT r4 #6): every frame of a batch must
+    be bit-identical to a single render with that seed (here via the
+    modular fallback route; the burst-program route is pinned bitwise in
+    tests/test_megakernel.py::test_render_burst_matches_single)."""
+    world, cam, kw = presets.sphere_ground(24, 16)
+    scene = world.build()
+    r = Renderer(samples_per_pixel=4, max_bounces=4,
+                 background_color=kw["background"], seed=99)
+    batch = np.asarray(r.render_batch_array(cam, scene, seeds=[3, 7]))
+    assert batch.shape[0] == 2
+    for i, s in enumerate((3, 7)):
+        r.seed = s
+        single = np.asarray(r.render_array(cam, scene))
+        np.testing.assert_array_equal(batch[i], single)
+    assert r.seed == 7  # loop fallback restores... (reset below)
+    r.seed = 99
+    imgs = r.render_batch(cam, world, seeds=[3, 7])
+    assert len(imgs) == 2 and imgs[0].data.shape == (16, 24, 3)
+    assert r.seed == 99  # render_batch restores the renderer's seed
+
+
+def test_render_batch_routes_to_burst(monkeypatch):
+    """On the megakernel route a batch must compile into ONE burst
+    program (render_burst), not a per-seed render loop."""
+    from tinyraytracer_tpu.ops import megakernel as mk
+
+    calls = {}
+
+    class FakeMk:
+        def __init__(self, scene, camera, background, **kw):
+            calls["init"] = True
+
+        def render_burst(self, *, spp, max_bounces, seeds, **kw):
+            calls["burst"] = (spp, max_bounces, tuple(seeds))
+            return jnp.zeros((len(seeds), 4, 4, 3), jnp.float32)
+
+    monkeypatch.setattr(mk, "MegakernelRenderer", FakeMk)
+    world, cam, kw = presets.sphere_ground(4, 4)
+    r = Renderer(samples_per_pixel=2, max_bounces=2,
+                 background_color=kw["background"],
+                 accelerator="megakernel")
+    out = r.render_batch_array(cam, world.build(), seeds=[0, 5])
+    assert calls["burst"] == (2, 2, (0, 5))
+    assert out.shape == (2, 4, 4, 3)
+
+
+def test_render_async_matches_render():
+    """render_async (the reference's JoinHandle analog,
+    renderer/renderer.rs:37-79): the handle's result must equal the
+    synchronous render, and done() must report completion."""
+    world, cam, kw = presets.sphere_ground(24, 16)
+    r = Renderer(samples_per_pixel=4, max_bounces=4,
+                 background_color=kw["background"])
+    h = r.render_async(cam, world)
+    img_async = h.result()
+    assert h.done()
+    img_sync = r.render(cam, world)
+    np.testing.assert_array_equal(img_async.data, img_sync.data)

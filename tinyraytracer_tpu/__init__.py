@@ -31,7 +31,7 @@ from tinyraytracer_tpu.models.materials import (
 from tinyraytracer_tpu.models.ray import Ray
 from tinyraytracer_tpu.models.transform import Transform
 from tinyraytracer_tpu.models.world import World, SceneArrays
-from tinyraytracer_tpu.renderer import Renderer
+from tinyraytracer_tpu.renderer import Renderer, RenderHandle
 from tinyraytracer_tpu.utils.image import Image
 
 __version__ = "0.1.0"
@@ -51,5 +51,6 @@ __all__ = [
     "World",
     "SceneArrays",
     "Renderer",
+    "RenderHandle",
     "Image",
 ]

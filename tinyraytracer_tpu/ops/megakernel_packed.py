@@ -71,7 +71,7 @@ _QUAD_FIELDS = 15   # n(3) dp av(3) ca bv(3) cb nhat(3)
 _MAT_FIELDS = 9     # kind albedo(3) fuzz ior emit(3)
 
 
-def scene_table(cs: CompactScene, pay) -> tuple[jnp.ndarray, tuple]:
+def scene_table(cs: CompactScene, pay) -> tuple[np.ndarray, tuple]:
     """Flatten the compacted scene into one SMEM scalar row.
 
     Values are copied verbatim from the CompactScene columns and the
@@ -115,7 +115,11 @@ def scene_table(cs: CompactScene, pay) -> tuple[jnp.ndarray, tuple]:
     nw = max(8, ((len(vals) + 7) // 8) * 8)
     tab = np.zeros((1, nw), np.float32)
     tab[0, : len(vals)] = np.asarray(vals, np.float32)
-    return jnp.asarray(tab), tuple(prims)
+    # Host array, not jnp: callers cache the table across calls (e.g.
+    # MegakernelRenderer._packed), and a jnp constant created inside a
+    # jit trace (render_burst's batched program) would leak its tracer
+    # into that cache. Numpy converts to a device constant at use.
+    return tab, tuple(prims)
 
 
 def _make_packed_kernel(spp: int, max_bounces: int, prims: tuple,
