@@ -4,6 +4,8 @@ conftest.py provides 8 virtual CPU devices (the multi-chip test strategy of
 SURVEY.md §4: `--xla_force_host_platform_device_count`-style simulation).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,3 +111,30 @@ def test_driver_entry_compiles():
     out.block_until_ready()
     assert out.shape == (128, 128, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.heavy
+def test_multiprocess_distributed_executes():
+    """VERDICT r4 #5: the REAL multi-process path. Spawns 2 processes x
+    4 CPU devices under jax.distributed.initialize (coordinator +
+    cross-process collectives), renders the sharded Cornell forward on
+    the global 8-device mesh, and gates (inside the workers): tile mesh
+    bitwise-equal to the single-device oracle, cross-process spp split
+    within 1 ulp, and both processes holding identical image bytes."""
+    import json
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "multiprocess_check.py")
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True,
+        timeout=900)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["ok"]
+    assert summary["results"]["tile8"]["ok"]
+    assert summary["results"]["tile8"]["max_abs_diff"] == 0.0
+    assert summary["results"]["tile4_sample2"]["ok"]
+    assert summary["results"]["cross_process_identical"]
