@@ -206,10 +206,43 @@ def _classic_tile(mb: int, n_rows: int, tile=None) -> int:
     return 0
 
 
+# Row-block width of the STREAMED classic kernel (VERDICT r4 #3): the
+# rows-sized sweeps fold in blocks of this many sublane rows. 256
+# mirrors the forward row-streamed megakernel's measured-best chunk.
+DIFF_ROW_CHUNK = int(_os.environ.get("TINYRT_DIFF_ROW_CHUNK", "256"))
+
+
+def _streamed_scoped_bytes(mb: int, n_rows: int, chunk: int,
+                           tr: int) -> int:
+    """Predicted scoped-VMEM bytes of one STREAMED-kernel grid step.
+
+    The classic model evaluated with the live row window = ONE chunk
+    (the fori_loop frees each block's intermediates, so the rows term
+    collapses to the chunk) plus the VMEM-resident scene columns +
+    both payload orientations (~170 B/row)."""
+    return _classic_scoped_bytes(mb, min(chunk, n_rows), tr) \
+        + 170 * n_rows
+
+
+def _streamed_tile(mb: int, n_rows: int, chunk: int, tile=None) -> int:
+    """Lane-tile width for the streamed classic kernel, or 0."""
+    if tile is not None:
+        return int(tile[-1]) if isinstance(tile, (tuple, list)) else int(tile)
+    env = _os.environ.get("TINYRT_DIFF_TILE")
+    if env:
+        return int(env)
+    for tr in (256, 128):
+        if _streamed_scoped_bytes(mb, n_rows, chunk, tr) \
+                * _SCOPED_SAFETY <= _SCOPED_LIMIT:
+            return tr
+    return 0
+
+
 def fused_engine_feasible(st: DiffStatic, mesh=None,
                           interpret: bool = False,
                           max_bounces: int | None = None,
-                          classic_only: bool = False) -> bool:
+                          classic_only: bool = False,
+                          surr_scoped: bool = False) -> bool:
     """Single source of truth for "can the fused kernels run this scene".
 
     Mirrors render_value_and_grad's auto-routing exactly (packed unroll
@@ -226,7 +259,12 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     for callers whose options force it (explicit trainable_rows subsets
     route classic regardless of packed feasibility), so a packed-only
     feasible scene doesn't get promised an engine the dispatch will
-    reject."""
+    reject.
+
+    surr_scoped (VERDICT r4 #3): the caller's fit keeps the boundary
+    surrogates scoped (trainable_rows subsets, or class scopes with no
+    class dense) — which unlocks the ROW-STREAMED classic kernel for
+    scenes beyond the monolithic VMEM model."""
     from tinyraytracer_tpu.ops.diffkernel_packed import (
         DIFF_PACKED_MAX_PRIMS,
         DIFF_PACKED_MAX_SPHERES,
@@ -237,9 +275,13 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     packed_ok = n_real <= DIFF_PACKED_MAX_PRIMS
     if packed_ok and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
         packed_ok = False       # auto would route classic: check its bound
+    mb = 20 if max_bounces is None else max_bounces
+    n_rows = st.ns + st.nq
     # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
-    classic_ok = interpret or _classic_tile(
-        20 if max_bounces is None else max_bounces, st.ns + st.nq) > 0
+    classic_ok = interpret or _classic_tile(mb, n_rows) > 0
+    if not classic_ok and surr_scoped:
+        classic_ok = _streamed_tile(
+            mb, n_rows, min(DIFF_ROW_CHUNK, n_rows)) > 0
     if classic_only:
         return classic_ok
     return packed_ok or classic_ok
@@ -319,7 +361,8 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                       has_met: bool = True, has_die: bool = True,
                       surr_s: tuple | None = None,
                       surr_q: tuple | None = None,
-                      cache_isect: bool = False):
+                      cache_isect: bool = False,
+                      row_chunk: int = 0):
     """Kernel: NEE forward image + local MSE cotangent + unrolled adjoint.
 
     All per-ray values are (1, TR) f32 rows; per-sphere matrices are
@@ -338,6 +381,21 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
     is that non-subset occluders' soft-shadow cotangents into the shared
     ray chain (cp/cwl/cdist) are dropped — a surrogate-artifact term,
     zero whenever those rows' coverage is saturated.
+
+    row_chunk (VERDICT r4 #3 — the diff twin of megakernel row
+    streaming): when > 0, every rows-sized sweep folds over
+    `row_chunk`-row blocks inside a fori_loop (dynamic sublane slices of
+    the scene refs) instead of materializing (rows, TR): the candidate
+    closest-hit (phase 1, shadow re-trace, replay), the winner payload
+    gather (an extra TRANSPOSED payload input, rows on sublanes), and
+    the parameter-gradient accumulation (chunked one-hot MXU adds
+    written straight into the output tables). The boundary surrogates
+    must be scoped (subset rows or class-off) — dense surrogates would
+    reintroduce the O(rows x TR) per-bounce term streaming removes.
+    Results are BIT-IDENTICAL to the monolithic kernel: the strict-<
+    fold reproduces min + first-index-at-min exactly (the same
+    construction megakernel.closest_hit_chunked parity-gates), and the
+    accumulation order per table row is unchanged.
     """
     na = ns + nq
     nlf = float(n_lights)
@@ -365,8 +423,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 
     def kernel(cam_ref, ctl_ref, pid_ref, px_ref, py_ref, wgt_ref, tgt_ref,
                sphc_ref, sphr_ref, qc_ref, qu_ref, qv_ref, pay_ref, lpay_ref,
-               img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref,
-               *isect_scratch):
+               *rest):
+        if row_chunk:
+            # streamed mode carries the TRANSPOSED payload (na, 32) so
+            # the chunked winner gather slices rows on the SUBLANE axis
+            # (Mosaic's pl.ds constraint — same layout argument as
+            # megakernel.payload_chunked)
+            payT_ref, *rest = rest
+        (img_ref, dsph_ref, dquad_ref, dmat_ref, dlight_ref, dmisc_ref,
+         *isect_scratch) = rest
         # cache_isect (same design as diffkernel_packed): (spp*mb, 1, TR)
         # VMEM scratches holding phase 1's per-(sample, bounce) winner t /
         # winner row / shadow visibility, so the phase-3 replay skips its
@@ -421,10 +486,17 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         wqvec_y = qny * inv_nn
         wqvec_z = qnz * inv_nn
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (na, tr), 0)
-        srow_ids = jax.lax.broadcasted_iota(jnp.int32, (ns, tr), 0)
-        qrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nq, tr), 0)
-        mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nm, tr), 0)
+        # rows-sized iotas only in monolithic mode (streamed mode never
+        # materializes a (rows, TR) matrix); the full-surrogate row iotas
+        # only when that class runs dense surrogates
+        row_ids = (None if row_chunk
+                   else jax.lax.broadcasted_iota(jnp.int32, (na, tr), 0))
+        srow_ids = (jax.lax.broadcasted_iota(jnp.int32, (ns, tr), 0)
+                    if surr_s is None and not row_chunk else None)
+        qrow_ids = (jax.lax.broadcasted_iota(jnp.int32, (nq, tr), 0)
+                    if surr_q is None and not row_chunk else None)
+        mrow_ids = (None if row_chunk
+                    else jax.lax.broadcasted_iota(jnp.int32, (nm, tr), 0))
         lrow_ids = jax.lax.broadcasted_iota(jnp.int32, (nl, tr), 0)
         sval = (scx < 1e29).astype(jnp.float32)          # (ns,1) real spheres
         qval = (qcx < 1e29).astype(jnp.float32)          # (nq,1) real quads
@@ -545,6 +617,153 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             hit = best_t < _MISS
             return best_t, jnp.minimum(row, na - 1), hit
 
+        def _fold_chunk(ts, base, best, rowf):
+            """Strict-< min-fold of one (C, TR) candidate block into the
+            running winner — exactly megakernel._fold_chunk: earliest
+            block wins cross-block ties, first-index-at-min within a
+            block, so the result equals the monolithic min +
+            first-index rule bit for bit. Re-tested overlap rows of a
+            clamped tail block never win on equality."""
+            c = ts.shape[0]
+            bt = jnp.min(ts, axis=0, keepdims=True)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0) + base
+            first = jnp.min(
+                jnp.where(ts == bt, rows, na),
+                axis=0, keepdims=True).astype(jnp.float32)
+            upd = bt < best
+            return (jnp.where(upd, bt, best),
+                    jnp.where(upd, first, rowf))
+
+        def closest_hit_chunked(ox, oy, oz, dx, dy, dz):
+            """Row-streamed candidate sweep (VERDICT r4 #3): fori folds
+            `row_chunk`-row blocks of the scene refs through a running
+            (best_t, winner row); peak VMEM is ONE block's
+            intermediates. Quad derived columns (n, a/ca, b/cb, dp) are
+            recomputed per (C, 1) block — the same formulas the kernel
+            prologue applies to the full columns, so candidates are
+            bit-identical. Pad rows self-reject exactly as in the
+            monolithic test (sphere 1e30 centers -> NaN disc; quad zero
+            u/v -> |den| < 1e-12). -> (best_t, row i32, hit)."""
+            best = jnp.full((1, tr), _MISS, jnp.float32)
+            rowf = jnp.full((1, tr), float(na), jnp.float32)
+
+            c = min(row_chunk, ns)
+            n_ch = -(-ns // c)
+
+            def sph_body(i, st_):
+                best, rowf = st_
+                base = jnp.minimum(i * c, ns - c)
+                blk = sphc_ref[pl.ds(base, c), :]            # (C, 3)
+                rb = sphr_ref[pl.ds(base, c), 0:1]
+                ocx = ox - blk[:, 0:1]
+                ocy = oy - blk[:, 1:2]
+                ocz = oz - blk[:, 2:3]
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c_term = ocx * ocx + ocy * ocy + ocz * ocz - rb * rb
+                disc = half_b * half_b - c_term
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -half_b - sq
+                t1 = -half_b + sq
+                ts = jnp.where(t0 >= _T_MIN, t0,
+                               jnp.where(t1 >= _T_MIN, t1, _MISS))
+                ts = jnp.where(disc >= 0.0, ts, _MISS)
+                return _fold_chunk(ts, base, best, rowf)
+
+            best, rowf = jax.lax.fori_loop(0, n_ch, sph_body, (best, rowf))
+
+            cq = min(row_chunk, nq)
+            n_chq = -(-nq // cq)
+
+            def quad_body(i, st_):
+                best, rowf = st_
+                base = jnp.minimum(i * cq, nq - cq)
+                qcb_ = qc_ref[pl.ds(base, cq), :]            # (C, 3)
+                qub_ = qu_ref[pl.ds(base, cq), :]
+                qvb_ = qv_ref[pl.ds(base, cq), :]
+                cqcx, cqcy, cqcz = qcb_[:, 0:1], qcb_[:, 1:2], qcb_[:, 2:3]
+                cqux, cquy, cquz = qub_[:, 0:1], qub_[:, 1:2], qub_[:, 2:3]
+                cqvx, cqvy, cqvz = qvb_[:, 0:1], qvb_[:, 1:2], qvb_[:, 2:3]
+                nxc, nyc, nzc = cross3(cqux, cquy, cquz, cqvx, cqvy, cqvz)
+                nnc = jnp.maximum(
+                    dot3(nxc, nyc, nzc, nxc, nyc, nzc), 1e-30)
+                invc = 1.0 / nnc
+                dpc = dot3(nxc, nyc, nzc, cqcx, cqcy, cqcz)
+                axc, ayc, azc = cross3(cqvx, cqvy, cqvz, nxc, nyc, nzc)
+                axc, ayc, azc = axc * invc, ayc * invc, azc * invc
+                cac = dot3(axc, ayc, azc, cqcx, cqcy, cqcz)
+                bxc, byc, bzc = cross3(nxc, nyc, nzc, cqux, cquy, cquz)
+                bxc, byc, bzc = bxc * invc, byc * invc, bzc * invc
+                cbc = dot3(bxc, byc, bzc, cqcx, cqcy, cqcz)
+                den = nxc * dx + nyc * dy + nzc * dz
+                ok_den = jnp.abs(den) >= 1e-12
+                den = jnp.where(ok_den, den, 1e-12)
+                tq = (dpc - (nxc * ox + nyc * oy + nzc * oz)) / den
+                al = (axc * ox + ayc * oy + azc * oz) + tq * (
+                    axc * dx + ayc * dy + azc * dz) - cac
+                be = (bxc * ox + byc * oy + bzc * oz) + tq * (
+                    bxc * dx + byc * dy + bzc * dz) - cbc
+                ok = (ok_den & (tq >= _T_MIN)
+                      & (al >= 0.0) & (al < 1.0)
+                      & (be >= 0.0) & (be < 1.0))
+                ts = jnp.where(ok, tq, _MISS)
+                return _fold_chunk(ts, ns + base, best, rowf)
+
+            best, rowf = jax.lax.fori_loop(
+                0, n_chq, quad_body, (best, rowf))
+            row = jnp.minimum(rowf.astype(jnp.int32), na - 1)
+            return best, row, best < _MISS
+
+        if row_chunk:
+            closest_hit = closest_hit_chunked
+
+        def payload_chunked(rowi):
+            """(32, TR) winner payload: fori over (C, 32) sublane slices
+            of the transposed payload; payw = sum_blocks block.T @
+            onehot_block, overlap rows of a clamped tail block masked
+            out (megakernel.payload_chunked's construction)."""
+            c = min(row_chunk, na)
+            n_ch = -(-na // c)
+
+            def body(i, payw):
+                s_begin = i * c
+                base = jnp.minimum(s_begin, na - c)
+                blk = payT_ref[pl.ds(base, c), :]            # (C, 32)
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0)
+                        + base)
+                oh = ((rows == rowi)
+                      & (rows >= s_begin)).astype(jnp.float32)
+                return payw + jax.lax.dot_general(
+                    blk, oh,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                            # (32, TR)
+
+            return jax.lax.fori_loop(
+                0, n_ch, body, jnp.zeros((32, tr), jnp.float32))
+
+        def acc_table_chunked(ref, n_rows, base0, rowi, G):
+            """Chunked one-hot parameter accumulation (streamed mode):
+            for each `row_chunk` block of table rows, build the (C, TR)
+            winner one-hot and add the (C, K) MXU product straight into
+            the output table slice — the in-place twin of
+            cl(onehot, G). `base0` maps table rows to kernel winner
+            rows (0 for spheres/materials, ns for quads)."""
+            c = min(row_chunk, n_rows)
+            n_ch = -(-n_rows // c)
+
+            def body(i, _):
+                s_begin = i * c
+                base = jnp.minimum(s_begin, n_rows - c)
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0)
+                        + base + base0)
+                oh = ((rows == rowi)
+                      & (rows >= s_begin + base0)).astype(jnp.float32)
+                ref[pl.ds(base, c), :] = ref[pl.ds(base, c), :] + cl(oh, G)
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, body, 0)
+
         def raygen(s):
             sample_id = spp_offset + s.astype(jnp.uint32)
             r1, r2_, r3, r4 = _uniform4(pid, sample_id, jnp.uint32(0), seed)
@@ -570,8 +789,12 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
         def shade(sample_id, b_u32, st, best_t, rowf):
             (ox, oy, oz, dx, dy, dz, tr_, tg_, tb_, alive_f, pd_f) = st
             g = {}
-            onehot = (row_ids == rowf.astype(jnp.int32)).astype(jnp.float32)
-            payw = mm(pay_ref[:, :], onehot)            # (32, TR)
+            if row_chunk:
+                payw = payload_chunked(rowf.astype(jnp.int32))  # (32, TR)
+            else:
+                onehot = (row_ids == rowf.astype(jnp.int32)).astype(
+                    jnp.float32)
+                payw = mm(pay_ref[:, :], onehot)        # (32, TR)
 
             def pw(i):
                 return payw[i:i + 1, :]
@@ -1564,23 +1787,23 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             # ---- parameter accumulation matrices ----------------------
             # recomputed, not read from g (see the shade note): 1 op vs
             # mb (na, TR) VMEM residents across the reverse sweep
-            onehot = (row_ids == rowf.astype(jnp.int32)).astype(
-                jnp.float32)
             Gs = jnp.concatenate(
                 [c_cx, c_cy, c_cz, crad, zr, zr, zr, zr], axis=0)  # (8,TR)
-            dsph_add = cl(onehot[:ns], Gs)                          # (ns,8)
+            Gq = jnp.concatenate(
+                [cqc_x, cqc_y, cqc_z, cqux, cquy, cquz,
+                 cqvx, cqvy, cqvz, zr, zr, zr, zr, zr, zr, zr], axis=0)
+            Gm = jnp.concatenate(
+                [calb_r, calb_g, calb_b, cfuzz, cior,
+                 cemit_r, cemit_g, cemit_b], axis=0)                # (8,TR)
             red = lambda m: cl(m, ones_1tr)                         # (k,1)
+            s_tab = None
             if cs_all is not None and (sil or (nee and n_lights > 0)):
                 s_tab = jnp.concatenate(
                     [red(m) for m in cs_all]
                     + [jnp.zeros((ks_t, 4), jnp.float32)], axis=1)  # (k,8)
                 if scols_t["scat"] is not None:
                     s_tab = mm(scols_t["scat"], s_tab)              # (ns,8)
-                dsph_add = dsph_add + s_tab
-            Gq = jnp.concatenate(
-                [cqc_x, cqc_y, cqc_z, cqux, cquy, cquz,
-                 cqvx, cqvy, cqvz, zr, zr, zr, zr, zr, zr, zr], axis=0)
-            dquad_add = cl(onehot[ns:], Gq)                         # (nq,16)
+            q_tab = None
             if cq_all is not None and (sil or (nee and n_lights > 0)):
                 # quad surrogate rows (edge silhouette + soft shadow)
                 q_tab = jnp.concatenate(
@@ -1588,18 +1811,40 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                     + [jnp.zeros((kq_t, 7), jnp.float32)], axis=1)  # (k,16)
                 if qcols_t["scat"] is not None:
                     q_tab = mm(qcols_t["scat"], q_tab)              # (nq,16)
+            cout = (cox, coy, coz, cdx, cdy, cdz, cT0r, cT0g, cT0b)
+            if row_chunk:
+                # streamed: chunked one-hot adds straight into the output
+                # tables (zeroed once at phase-3 start of program 0);
+                # subset surrogate tables are (ns, 8)/(nq, 16)-small and
+                # add densely. Only the background triplet stays a loop
+                # carry.
+                rowi = rowf.astype(jnp.int32)
+                acc_table_chunked(dsph_ref, ns, 0, rowi, Gs)
+                if s_tab is not None:
+                    dsph_ref[...] = dsph_ref[...] + s_tab
+                acc_table_chunked(dquad_ref, nq, ns, rowi, Gq)
+                if q_tab is not None:
+                    dquad_ref[...] = dquad_ref[...] + q_tab
+                acc_table_chunked(
+                    dmat_ref, nm, 0, g["wmat"].astype(jnp.int32), Gm)
+                if Gl is not None:
+                    dlight_ref[...] = dlight_ref[...] + cl(lone, Gl)
+                return cout, (cbg_r, cbg_g, cbg_b)
+            onehot = (row_ids == rowf.astype(jnp.int32)).astype(
+                jnp.float32)
+            dsph_add = cl(onehot[:ns], Gs)                          # (ns,8)
+            if s_tab is not None:
+                dsph_add = dsph_add + s_tab
+            dquad_add = cl(onehot[ns:], Gq)                         # (nq,16)
+            if q_tab is not None:
                 dquad_add = dquad_add + q_tab
             monehot = (mrow_ids == g["wmat"].astype(jnp.int32)).astype(
                 jnp.float32)
-            Gm = jnp.concatenate(
-                [calb_r, calb_g, calb_b, cfuzz, cior,
-                 cemit_r, cemit_g, cemit_b], axis=0)                # (8,TR)
             dmat_add = cl(monehot, Gm)                              # (nm,8)
             if Gl is not None:
                 dlight_add = cl(lone, Gl)                           # (nl,16)
             else:
                 dlight_add = jnp.zeros((nl, 16), jnp.float32)
-            cout = (cox, coy, coz, cdx, cdy, cdz, cT0r, cT0g, cT0b)
             return cout, (dsph_add, dquad_add, dmat_add, dlight_add,
                           cbg_r, cbg_g, cbg_b)
 
@@ -1664,8 +1909,24 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             npixf * 3.0)
 
         # ============== phase 3: replay + adjoint =====================
+        first = pl.program_id(0) == 0
+        if row_chunk:
+            # streamed tables accumulate IN PLACE during the sweep:
+            # zero them once before program 0's accumulation (later
+            # programs keep adding to the running totals)
+            @pl.when(first)
+            def _():
+                dsph_ref[...] = jnp.zeros((ns, 8), jnp.float32)
+                dquad_ref[...] = jnp.zeros((nq, 16), jnp.float32)
+                dmat_ref[...] = jnp.zeros((nm, 8), jnp.float32)
+                dlight_ref[...] = jnp.zeros((nl, 16), jnp.float32)
+
         def sample_bwd(s, accs):
-            (dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a) = accs
+            if row_chunk:
+                (bgr_a, bgg_a, bgb_a) = accs
+            else:
+                (dsph_a, dquad_a, dmat_a, dlight_a,
+                 bgr_a, bgg_a, bgb_a) = accs
             ox, oy, oz, dx, dy, dz, sample_id = raygen(s)
             st = (ox, oy, oz, dx, dy, dz, ones_, ones_, ones_, ones_,
                   zeros_)
@@ -1689,24 +1950,37 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 st_b, bt_b, row_b, vis_b, g_b = saves[b]
                 co, adds = bounce_adj(sample_id, b, st_b, bt_b, row_b,
                                       vis_b, g_b, co, chat)
-                dsph_a = dsph_a + adds[0]
-                dquad_a = dquad_a + adds[1]
-                dmat_a = dmat_a + adds[2]
-                dlight_a = dlight_a + adds[3]
-                bgr_a = bgr_a + adds[4]
-                bgg_a = bgg_a + adds[5]
-                bgb_a = bgb_a + adds[6]
+                if row_chunk:
+                    bgr_a = bgr_a + adds[0]
+                    bgg_a = bgg_a + adds[1]
+                    bgb_a = bgb_a + adds[2]
+                else:
+                    dsph_a = dsph_a + adds[0]
+                    dquad_a = dquad_a + adds[1]
+                    dmat_a = dmat_a + adds[2]
+                    dlight_a = dlight_a + adds[3]
+                    bgr_a = bgr_a + adds[4]
+                    bgg_a = bgg_a + adds[5]
+                    bgb_a = bgb_a + adds[6]
+            if row_chunk:
+                return (bgr_a, bgg_a, bgb_a)
             return (dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a)
 
-        accs0 = (
-            jnp.zeros((ns, 8), jnp.float32),
-            jnp.zeros((nq, 16), jnp.float32),
-            jnp.zeros((nm, 8), jnp.float32),
-            jnp.zeros((nl, 16), jnp.float32),
-            zeros_, zeros_, zeros_,
-        )
-        accs = jax.lax.fori_loop(0, spp, sample_bwd, accs0)
-        dsph_a, dquad_a, dmat_a, dlight_a, bgr_a, bgg_a, bgb_a = accs
+        if row_chunk:
+            accs0 = (zeros_, zeros_, zeros_)
+            bgr_a, bgg_a, bgb_a = jax.lax.fori_loop(
+                0, spp, sample_bwd, accs0)
+        else:
+            accs0 = (
+                jnp.zeros((ns, 8), jnp.float32),
+                jnp.zeros((nq, 16), jnp.float32),
+                jnp.zeros((nm, 8), jnp.float32),
+                jnp.zeros((nl, 16), jnp.float32),
+                zeros_, zeros_, zeros_,
+            )
+            accs = jax.lax.fori_loop(0, spp, sample_bwd, accs0)
+            (dsph_a, dquad_a, dmat_a, dlight_a,
+             bgr_a, bgg_a, bgb_a) = accs
 
         # dmisc: background gradient in row 0 cols 0..2, MSE in col 3
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -1722,23 +1996,31 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                                           lsum, 0.0))),
         )
 
-        first = pl.program_id(0) == 0
+        if row_chunk:
+            # tables already accumulated in place; only dmisc remains
+            @pl.when(first)
+            def _():
+                dmisc_ref[...] = dmisc
 
-        @pl.when(first)
-        def _():
-            dsph_ref[...] = dsph_a
-            dquad_ref[...] = dquad_a
-            dmat_ref[...] = dmat_a
-            dlight_ref[...] = dlight_a
-            dmisc_ref[...] = dmisc
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dmisc_ref[...] = dmisc_ref[...] + dmisc
+        else:
+            @pl.when(first)
+            def _():
+                dsph_ref[...] = dsph_a
+                dquad_ref[...] = dquad_a
+                dmat_ref[...] = dmat_a
+                dlight_ref[...] = dlight_a
+                dmisc_ref[...] = dmisc
 
-        @pl.when(jnp.logical_not(first))
-        def _():
-            dsph_ref[...] = dsph_ref[...] + dsph_a
-            dquad_ref[...] = dquad_ref[...] + dquad_a
-            dmat_ref[...] = dmat_ref[...] + dmat_a
-            dlight_ref[...] = dlight_ref[...] + dlight_a
-            dmisc_ref[...] = dmisc_ref[...] + dmisc
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dsph_ref[...] = dsph_ref[...] + dsph_a
+                dquad_ref[...] = dquad_ref[...] + dquad_a
+                dmat_ref[...] = dmat_ref[...] + dmat_a
+                dlight_ref[...] = dlight_ref[...] + dlight_a
+                dmisc_ref[...] = dmisc_ref[...] + dmisc
 
     return kernel
 
@@ -1746,13 +2028,18 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
 def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
                spp, max_bounces, n_lights, nm, nee, sil, interpret,
                has_met=True, has_die=True, tr=TILE,
-               surr_s=None, surr_q=None, cache_isect=False):
+               surr_s=None, surr_q=None, cache_isect=False,
+               row_chunk=0):
     """One pallas launch over the given lane arrays (possibly a mesh
     shard's slice — the grid is sized from the LOCAL lane count).
 
     tr: rays per tile (lane width of every per-ray row). 256 is the
     VPU sweet spot; large (rows x bounces) scenes shrink it to fit the
-    reverse sweep in the ~16 MB scoped VMEM (see _classic_tile)."""
+    reverse sweep in the ~16 MB scoped VMEM (see _classic_tile).
+
+    row_chunk > 0 engages the streamed kernel (see _make_diff_kernel):
+    an extra transposed-payload input rides along and the rows-sized
+    sweeps fold in `row_chunk` blocks."""
     rp = pid.shape[1]
     ns = tables["sph_c"].shape[0]
     nq = tables["quad_c"].shape[0]
@@ -1760,9 +2047,12 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
     kernel = _make_diff_kernel(spp, max_bounces, ns, nq, nm, nl,
                                n_lights, nee, sil, has_met, has_die,
                                surr_s=surr_s, surr_q=surr_q,
-                               cache_isect=cache_isect)
+                               cache_isect=cache_isect,
+                               row_chunk=row_chunk)
     tile = lambda i: (0, i)
     const = lambda i: (0, 0)
+    n_tab = 8 if row_chunk else 7
+    extra_in = (tables["pay"].T,) if row_chunk else ()
     outs = pl.pallas_call(
         kernel,
         grid=(rp // tr,),
@@ -1775,7 +2065,7 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
             pl.BlockSpec((1, tr), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, tr), tile, memory_space=pltpu.VMEM),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(7)],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_tab)],
         out_specs=[
             pl.BlockSpec((3, tr), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((ns, 8), const, memory_space=pltpu.VMEM),
@@ -1809,7 +2099,7 @@ def _diff_call(tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols, *,
         cam_vec, ctl, pid, px, py, wgt, tgt_cols,
         tables["sph_c"], tables["sph_r"], tables["quad_c"],
         tables["quad_u"], tables["quad_v"], tables["pay"],
-        tables["light_pay"],
+        tables["light_pay"], *extra_in,
     )
     return outs
 
@@ -1931,23 +2221,43 @@ def render_value_and_grad(
             # the packed kernel
             packed = False
     tr = TILE
+    row_chunk = 0
+    env_stream = _os.environ.get("TINYRT_DIFF_STREAM")
     if not packed:
+        n_rows = st.ns + st.nq
+        surr_scoped = surr_s is not None and surr_q is not None
         if interpret:
             # the host interpreter has no VMEM constraint (ADVICE r3):
             # keep the default tile unless the caller pinned one
             if tile is not None:
                 tr = _classic_tile(max_bounces, st.ns + st.nq, tile)
+            if env_stream and surr_scoped:
+                # test hook: force the streamed kernel under interpret
+                row_chunk = min(DIFF_ROW_CHUNK, int(env_stream))
         else:
-            tr = _classic_tile(max_bounces, st.ns + st.nq, tile)
+            tr = _classic_tile(max_bounces, n_rows, tile)
+            if (not tr or env_stream) and surr_scoped:
+                # Row-streamed mode (VERDICT r4 #3): beyond the
+                # monolithic reverse sweep's VMEM model, fold the
+                # rows-sized sweeps in DIFF_ROW_CHUNK blocks — feasible
+                # whenever the surrogates are scoped (subset rows or
+                # class-off), which a large-N fit needs anyway for its
+                # O(trained-rows) surrogate cost.
+                row_chunk = min(DIFF_ROW_CHUNK, n_rows)
+                tr = _streamed_tile(max_bounces, n_rows, row_chunk, tile)
             if not tr:
-                n_rows = st.ns + st.nq
+                hint = (
+                    "reduce max_bounces"
+                    if surr_scoped else
+                    "scope the boundary surrogates (pass trainable_rows "
+                    "subsets, or a trainable set that excludes one "
+                    "class's geometry) to unlock the row-streamed mode")
                 raise ValueError(
                     f"scene has {n_rows} candidate rows at "
                     f"max_bounces={max_bounces} — beyond the fused diff "
-                    "kernel's VMEM feasibility even at a 128-lane tile "
-                    "(_classic_scoped_bytes); pass tile=128 to force a "
-                    "borderline config, or use the modular "
-                    "make_train_step path for scenes this large")
+                    "kernel's VMEM feasibility even at a 128-lane tile; "
+                    f"{hint}, pass tile=128 to force a borderline "
+                    "config, or use the modular make_train_step path")
     if packed:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             render_value_and_grad_packed,
@@ -1990,14 +2300,18 @@ def render_value_and_grad(
     # prediction; when it doesn't (e.g. spp=200 mb=20), the replay
     # recomputes as before. Bit-identical either way.
     cache_bytes = 3 * spp * max_bounces * tr * 4
+    base_bytes = (
+        _streamed_scoped_bytes(max_bounces, st.ns + st.nq, row_chunk, tr)
+        if row_chunk else
+        _classic_scoped_bytes(max_bounces, st.ns + st.nq, tr))
     cache_isect = bool(
-        _classic_scoped_bytes(max_bounces, st.ns + st.nq, tr)
-        * _SCOPED_SAFETY + cache_bytes <= _SCOPED_LIMIT)
+        base_bytes * _SCOPED_SAFETY + cache_bytes <= _SCOPED_LIMIT)
     call = functools.partial(
         _diff_call, spp=spp, max_bounces=max_bounces,
         n_lights=st.n_lights, nm=st.nm, nee=nee, sil=silhouette,
         interpret=interpret, has_met=has_met, has_die=has_die, tr=tr,
-        surr_s=surr_s, surr_q=surr_q, cache_isect=cache_isect)
+        surr_s=surr_s, surr_q=surr_q, cache_isect=cache_isect,
+        row_chunk=row_chunk)
     if mesh is None:
         img_cols, dsph, dquad, dmat, dlight, dmisc = call(
             tables, cam_vec, ctl, pid, px, py, wgt, tgt_cols)
