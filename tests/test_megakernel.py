@@ -352,3 +352,27 @@ def test_render_burst_matches_single():
     for i, s in enumerate((0, 4)):
         single = np.asarray(r.render(spp=2, max_bounces=3, seed=s))
         np.testing.assert_array_equal(burst[i], single)
+
+
+def test_chunk_cull_matches_streamed():
+    """Chunk-granular culling on the row-streamed path (VERDICT r4 #4):
+    skipping a block whose AABB no lane enters before its current best
+    is EXACT (any member hit t >= the block's slab entry t), so the
+    culled render must be bit-identical to the plain streamed sweep."""
+    world, cam, kw = presets.random_spheres(width=24, height=16, n=60)
+    scene = world.build()
+    r = mk.MegakernelRenderer(scene, cam, kw["background"],
+                              interpret=True, chunk_cull=True)
+    ctl = jnp.asarray([[3, 0, 0, 0]], jnp.int32)
+    pay_active, has_sph, has_quad = mk._active_payload(r.cs, r.pay)
+    pid, px, py, inv, rp = mk._block_pixel_arrays(24, 16, 128)
+    args = (r.cs, pay_active, r.cam_vec, ctl,
+            jnp.asarray(pid), jnp.asarray(px), jnp.asarray(py))
+    plain = mk._run_kernel(*args, 2, 5, has_sph, has_quad, True,
+                           False, None, 128, True, r.has_met,
+                           r.has_die, sky=r.sky, row_chunk=16)
+    cull = mk._run_kernel(*args, 2, 5, has_sph, has_quad, True,
+                          False, None, 128, True, r.has_met,
+                          r.has_die, sky=r.sky, row_chunk=16,
+                          chunk_aabbs=mk._build_chunk_aabbs(r.cs, 16))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(cull))

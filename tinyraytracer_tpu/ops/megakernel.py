@@ -448,11 +448,46 @@ def _regen_sample_loop(px, spp, max_bounces, spp_offset,
     return st[14], st[15], st[16]
 
 
+def _build_chunk_aabbs(cs: CompactScene, chunk: int):
+    """AABBs of the row-streamed kernel's sphere CHUNK blocks.
+
+    Block i covers compacted sphere rows [min(i*chunk, ns-chunk), +chunk)
+    — the exact clamped-base rule closest_hit_chunked folds with — and
+    its AABB spans the real members' center±|r| bounds (aabb.rs:13-19
+    padding class). All-inert blocks get an empty AABB (min > max) so
+    the slab test culls them outright. With Morton-ordered rows
+    (_morton_order) the blocks are spatially compact, so a coherent ray
+    tile skips most blocks' candidate math entirely — cluster culling at
+    the granularity where the whole-tile `cond` is cheap relative to
+    the work it skips (a 256-row block ~ 5000 lane-ops vs a ~25-lane-op
+    slab test; the 8-row clusters that lost at 512 spheres paid the
+    same test for 1/32 the avoided work)."""
+    ns = cs.ns
+    c = min(chunk, ns)
+    k = -(-ns // c)
+    cc = np.asarray(cs.sph_c)
+    r = np.sqrt(np.asarray(cs.sph_r2)[:, 0])
+    real = cc[:, 0] < 1e29
+    cmin = np.full((k, 3), 1.0, np.float32)
+    cmax = np.full((k, 3), -1.0, np.float32)      # empty (never hit)
+    for i in range(k):
+        base = min(i * c, ns - c)
+        m = real[base:base + c]
+        if not m.any():
+            continue
+        cb = cc[base:base + c][m]
+        rb = r[base:base + c][m][:, None]
+        cmin[i] = (cb - rb).min(axis=0) - 5e-5
+        cmax[i] = (cb + rb).max(axis=0) + 5e-5
+    return jnp.asarray(cmin), jnp.asarray(cmax)
+
+
 def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
                  has_sph: bool, has_quad: bool, early_exit: bool = False,
                  n_clusters: int = 0, regen: bool = False,
                  has_met: bool = True, has_die: bool = True,
-                 sky: bool = False, row_chunk: int = 0):
+                 sky: bool = False, row_chunk: int = 0,
+                 chunk_cull: bool = False):
     """Kernel body specialized on static (spp, max_bounces, Ns, Nq).
 
     `has_sph`/`has_quad` compile out an absent primitive kind entirely —
@@ -495,6 +530,9 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             cmin_ref, cmax_ref = _extras[0], _extras[1]
             _extras = _extras[2:]
         payT_ref = _extras[0] if row_chunk else None  # (NA, 16)
+        if chunk_cull:
+            # per-chunk AABBs of the streamed sphere blocks (K, 3)
+            ccmin_ref, ccmax_ref = _extras[1], _extras[2]
         tr = pid_ref.shape[1]
         pid = pid_ref[0:1, :]
         px = px_ref[0:1, :]
@@ -719,16 +757,62 @@ def _make_kernel(spp: int, max_bounces: int, ns: int, nq: int,
             if has_sph:
                 c = min(row_chunk, ns)
                 n_ch = -(-ns // c)
+                if chunk_cull:
+                    # hoisted slab-test reciprocals (shared by every
+                    # block's AABB test this sweep)
+                    inv_dx = 1.0 / jnp.where(
+                        jnp.abs(dx) < 1e-24, 1e-24, dx)
+                    inv_dy = 1.0 / jnp.where(
+                        jnp.abs(dy) < 1e-24, 1e-24, dy)
+                    inv_dz = 1.0 / jnp.where(
+                        jnp.abs(dz) < 1e-24, 1e-24, dz)
 
-                def sph_body(i, st):
-                    best, rowf = st
-                    base = jnp.minimum(i * c, ns - c)
+                def sph_chunk(i, base, best, rowf):
                     blk = sph_c_ref[pl.ds(base, c), :]       # (C, 3)
                     ts = _sphere_rows_test(
                         ox - blk[:, 0:1], oy - blk[:, 1:2],
                         oz - blk[:, 2:3], dx, dy, dz,
                         sph_r2_ref[pl.ds(base, c), 0:1])
                     return _fold_chunk(ts, base, best, rowf)
+
+                if chunk_cull:
+                    def sph_body(i, st):
+                        best, rowf = st
+                        base = jnp.minimum(i * c, ns - c)
+                        # block AABB slab test (aabb.rs:36-61): skip the
+                        # whole block's candidate math when no lane's
+                        # ray enters its AABB before that lane's
+                        # current best hit
+                        mn = ccmin_ref[pl.ds(i, 1), :]       # (1, 3)
+                        mx = ccmax_ref[pl.ds(i, 1), :]
+                        tx0 = (mn[0:1, 0:1] - ox) * inv_dx
+                        tx1 = (mx[0:1, 0:1] - ox) * inv_dx
+                        ty0 = (mn[0:1, 1:2] - oy) * inv_dy
+                        ty1 = (mx[0:1, 1:2] - oy) * inv_dy
+                        tz0 = (mn[0:1, 2:3] - oz) * inv_dz
+                        tz1 = (mx[0:1, 2:3] - oz) * inv_dz
+                        near = jnp.maximum(
+                            jnp.minimum(tx0, tx1),
+                            jnp.maximum(jnp.minimum(ty0, ty1),
+                                        jnp.minimum(tz0, tz1)))
+                        far = jnp.minimum(
+                            jnp.maximum(tx0, tx1),
+                            jnp.minimum(jnp.maximum(ty0, ty1),
+                                        jnp.maximum(tz0, tz1)))
+                        lo = jnp.maximum(near, _T_MIN)
+                        enter = (lo <= far) & (lo < best)
+                        wanted = jnp.max(
+                            jnp.where(enter, 1.0, 0.0)) > 0.5
+                        return jax.lax.cond(
+                            wanted,
+                            lambda st_: sph_chunk(i, base, *st_),
+                            lambda st_: st_,
+                            (best, rowf))
+                else:
+                    def sph_body(i, st):
+                        best, rowf = st
+                        base = jnp.minimum(i * c, ns - c)
+                        return sph_chunk(i, base, best, rowf)
 
                 best, rowf = jax.lax.fori_loop(
                     0, n_ch, sph_body, (best, rowf))
@@ -1052,18 +1136,21 @@ def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                 spp, max_bounces, has_sph, has_quad, interpret,
                 early_exit=False, clusters=None, tile_rays=None,
                 regen=False, has_met=True, has_die=True, sky=False,
-                row_chunk=0):
+                row_chunk=0, chunk_aabbs=None):
     """pallas_call over prepared (1, RP) ray arrays; returns (3, RP)."""
     tr = tile_rays or TILE_RAYS
     rp = pid.shape[1]
     g = rp // tr
     n_clusters = clusters[0].shape[0] if clusters is not None else 0
+    chunk_cull = bool(row_chunk) and chunk_aabbs is not None
     kernel = _make_kernel(spp, max_bounces, cs.ns, cs.nq, has_sph, has_quad,
                           early_exit, n_clusters, regen, has_met, has_die,
-                          sky=sky, row_chunk=row_chunk)
+                          sky=sky, row_chunk=row_chunk,
+                          chunk_cull=chunk_cull)
     tile = lambda i: (0, i)
     n_scene = (9 + (2 if clusters is not None else 0)
-               + (1 if row_chunk else 0))
+               + (1 if row_chunk else 0)
+               + (2 if chunk_cull else 0))
     operands = [
         cam_vec,
         ctl,
@@ -1079,6 +1166,8 @@ def _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
         # transposed payload: rows on the SUBLANE axis so the chunked
         # gather's dynamic slice stays off the lane axis
         operands.append(pay_active.T)
+    if chunk_cull:
+        operands += list(chunk_aabbs)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -1174,6 +1263,7 @@ def _render_flat(
     has_die: bool = True,
     sky: bool = False,
     row_chunk: int = 0,
+    chunk_aabbs=None,
 ):
     tr = tile_rays or TILE_RAYS
     npix = width * height
@@ -1187,7 +1277,8 @@ def _render_flat(
                             jnp.asarray(py),
                             spp, max_bounces, has_sph, has_quad, interpret,
                             early_exit, clusters, tr, regen,
-                            has_met, has_die, sky=sky, row_chunk=row_chunk)
+                            has_met, has_die, sky=sky, row_chunk=row_chunk,
+                            chunk_aabbs=chunk_aabbs)
         return jnp.take(color, jnp.asarray(inv),
                         axis=1).T.reshape(height, width, 3)
     rp = ((npix + tr - 1) // tr) * tr
@@ -1195,7 +1286,8 @@ def _render_flat(
     color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                         spp, max_bounces, has_sph, has_quad, interpret,
                         early_exit, clusters, tr, regen, has_met, has_die,
-                        sky=sky, row_chunk=row_chunk)
+                        sky=sky, row_chunk=row_chunk,
+                        chunk_aabbs=chunk_aabbs)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
@@ -1271,10 +1363,12 @@ class MegakernelRenderer:
     """Scene-bound fast forward renderer (one kernel launch per image)."""
 
     def __init__(self, scene: SceneArrays, camera: Camera, background,
-                 interpret: bool = False, use_clusters: bool | None = None):
+                 interpret: bool = False, use_clusters: bool | None = None,
+                 chunk_cull: bool | None = None):
         self.scene = scene
         self.camera = camera
         n_sph_real = int(np.asarray(scene.sph_valid).sum())
+        n_quad_real = int(np.asarray(scene.quad_valid).sum())
         if use_clusters is None:
             # Dense stays the default at every size: on v5e (cfg4, 512
             # spheres) the static-order cluster cull measured 1.32 vs the
@@ -1283,18 +1377,34 @@ class MegakernelRenderer:
             # block it can skip, and bounced (incoherent) rays want most
             # clusters anyway. Kept opt-in for future tuning.
             use_clusters = False
-        if use_clusters and n_sph_real:
-            # Morton-order the spheres so 8-row clusters are spatially
-            # tight, then build the two-level acceleration tables.
+        if chunk_cull is None:
+            # CHUNK-granular culling on the row-streamed path (VERDICT
+            # r4 #4): the slab test amortizes over a whole ROW_CHUNK
+            # block (~25 lane-ops to maybe skip ~5000), the regime the
+            # 8-row cluster cull never reached. Auto: on whenever the
+            # scene is large enough that render() will row-stream.
+            ns_pad = max(8, -(-n_sph_real // 8) * 8)
+            nq_pad = max(8, -(-n_quad_real // 8) * 8)
+            n_rows = (ns_pad if n_sph_real else 0) + (
+                nq_pad if n_quad_real else 0)
+            chunk_cull = auto_tile_rays(n_rows) == 0
+        self.chunk_cull = bool(chunk_cull) and n_sph_real > 0
+        if (use_clusters or self.chunk_cull) and n_sph_real:
+            # Morton-order the spheres so cluster/chunk blocks are
+            # spatially tight, then build the acceleration tables
+            # (clusters here; chunk AABBs lazily in render(), once the
+            # row-chunk width is known).
             centers = np.asarray(scene.sph_center)[
                 np.asarray(scene.sph_valid)
             ]
             order = _morton_order(centers)
             self.cs = compact_scene(scene, sphere_order=order)
-            self.clusters = _build_clusters(self.cs)
+            self.clusters = _build_clusters(self.cs) if use_clusters \
+                else None
         else:
             self.cs = compact_scene(scene)
             self.clusters = None
+        self._chunk_aabbs = {}  # row_chunk -> (cmin, cmax) cache
         self.pay = _payload_matrix(scene, self.cs)
         self.has_met, self.has_die = used_kind_flags(scene)
         self.cam_vec = _camera_vector(camera, background)
@@ -1407,6 +1517,14 @@ class MegakernelRenderer:
                 row_chunk = int(_os.environ.get("TINYRT_ROW_CHUNK", "256"))
                 tile_rays = int(_os.environ.get(
                     "TINYRT_ROW_CHUNK_TILE", "512"))
+        chunk_aabbs = None
+        if row_chunk and self.chunk_cull and self.cs.n_sph_real:
+            # Morton-ordered block AABBs for the streamed sweep's
+            # whole-block skip (built once per chunk width)
+            if row_chunk not in self._chunk_aabbs:
+                self._chunk_aabbs[row_chunk] = _build_chunk_aabbs(
+                    self.cs, row_chunk)
+            chunk_aabbs = self._chunk_aabbs[row_chunk]
         ctl = jnp.asarray(
             [[np.int32(np.uint32(seed)), np.int32(np.uint32(spp_offset)), 0, 0]],
             jnp.int32,
@@ -1441,6 +1559,7 @@ class MegakernelRenderer:
             max_bounces=max_bounces,
             width=self.camera.width,
             height=self.camera.height,
+            chunk_aabbs=chunk_aabbs,
             interpret=self.interpret,
             early_exit=early_exit,
             clusters=self.clusters,
