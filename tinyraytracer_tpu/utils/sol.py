@@ -32,6 +32,27 @@ WINNER_OPS_PER_ROW = 3.0
 SEGMENT_FIXED_OPS = 260.0
 RAY_FIXED_OPS = 90.0
 
+# --- round-5 measured calibration (VERDICT r4 #2) -------------------------
+# scripts/probe_vpu_microbench.py measured what (32, 256) packed tiles
+# ACTUALLY sustain on v5e for op mixes stepping from pure FMAs to the
+# exact sphere-candidate sequence this model counts as "14 ops":
+#     independent FMA chains             2.39 Tops/s  (counting fma = 2)
+#     compare+select mix                 3.01 Tops/s
+#     sphere candidate sequence          2.70 Tops/s actual scalar ops
+#       = in THIS MODEL'S counting units (fma = 1 op, negations
+#         uncounted: 14 counted per 24 actual)     1.57 T counted-ops/s
+#     transcendental mix (rsqrt/div/exp/log)       1.14 Tops/s
+# So the spec peak 3.85e12 is unreachable in the model's counting units:
+# an fma counts once but costs a slot, and the shade chain's
+# transcendentals run the multi-cycle unit. The measured two-rate
+# ceiling below replaces hand-audited-only pct_sol: candidate-row work
+# at the measured candidate rate, fixed per-segment/per-ray work at the
+# transcendental-leaning rate (shade/RNG/scatter are full of rsqrt,
+# exp-log cube roots, divides). pct_of_sol_measured() reports against
+# it; the spec-peak pct_of_sol() stays for cross-round comparability.
+CAND_COUNTED_OPS_PER_SEC = 1.57e12   # sphere-candidate mix, counted units
+FIXED_COUNTED_OPS_PER_SEC = 1.15e12  # transcendental-leaning shade mix
+
 
 def ops_per_camera_ray(n_sph_rows: int, n_quad_rows: int,
                        bounces_executed: float) -> float:
@@ -63,6 +84,28 @@ def pct_of_sol(rays_per_sec: float, n_sph_rows: int, n_quad_rows: int,
         n_sph_rows, n_quad_rows, bounces_executed
     )
     return achieved / VPU_F32_OPS_PER_SEC
+
+
+def pct_of_sol_measured(rays_per_sec: float, n_sph_rows: int,
+                        n_quad_rows: int,
+                        bounces_executed: float) -> float:
+    """Fraction of the MEASURED-mix ceiling the forward kernel achieves.
+
+    Two-rate model calibrated by scripts/probe_vpu_microbench.py (see
+    the constants above): candidate-row counted ops at the measured
+    candidate-mix rate, fixed per-segment/per-ray counted ops at the
+    transcendental-leaning rate. For Cornell 600^2 this ceiling is ~258
+    Mrays/s — the realistic speed of light for this kernel's op mix,
+    against which the achieved 197 Mrays/s is ~0.76 (the spec-peak
+    pct_of_sol reads 0.278 for the same run because its 3.85e12
+    denominator is unreachable in counted-op units)."""
+    cand = bounces_executed * (
+        n_sph_rows * (SPHERE_OPS_PER_ROW + WINNER_OPS_PER_ROW)
+        + n_quad_rows * (QUAD_OPS_PER_ROW + WINNER_OPS_PER_ROW))
+    fixed = RAY_FIXED_OPS + bounces_executed * SEGMENT_FIXED_OPS
+    t_floor = (cand / CAND_COUNTED_OPS_PER_SEC
+               + fixed / FIXED_COUNTED_OPS_PER_SEC)
+    return rays_per_sec * t_floor
 
 
 # --- fused differentiable kernel (ops/diffkernel_packed.py) ---------------
@@ -106,6 +149,14 @@ REPLAY_CACHED_MULT = 0.45        # cached replay: shade only, no re-trace
 # over 1.44e6 samples x 8 bounces x 23 quads ~= 300 ops/quad/bounce.
 # The sphere surrogates remain inside the historical 2.0x adjoint
 # multiplier (they predate the model's calibration).
+#
+# CAVEAT (VERDICT r4 #2): because this constant was FIT from the
+# measured slowdown, the surrogate term of the roofline denominator is
+# at 100% SoL by construction — a pct_sol_diff value on an all-quad
+# scene partly restates the measurement rather than independently
+# auditing it. The hand-audited terms (candidate/shade/replay) are the
+# model's load-bearing content; see pct_of_sol_measured for the
+# microbenchmark-calibrated forward ceiling.
 QUAD_BOUNDARY_OPS_PER_ROW = 300.0
 
 
