@@ -245,10 +245,13 @@ def test_silhouette_recovers_sphere_position():
         scene0, cam, target, spp=16, max_bounces=3, background=bg, seed=0,
         optimizer=optax.adam(sched), trainable=("sph_center",),
     )
-    for i in range(100):
+    # 70 steps: the fit converges by ~60 (measured err trajectory 0.237 /
+    # 0.228 / 0.243 / 0.255 at steps 60/70/80/100) — the last 30 steps
+    # were pure wall-clock (VERDICT r4 #7).
+    for i in range(70):
         params, opt, _ = step(params, opt, i)
     err = float(np.linalg.norm(np.asarray(params["sph_center"])[s_row]))
-    assert err < 0.5, f"center error {err:.3f} after 100 steps (started at 4.0)"
+    assert err < 0.5, f"center error {err:.3f} after 70 steps (started at 4.0)"
 
 
 def test_quad_gradient_matches_fd():
@@ -334,13 +337,15 @@ def test_fit_recovers_quad_occluder_position():
         scene0, cam, target, spp=16, max_bounces=3, background=bg, seed=0,
         optimizer=optax.adam(sched), trainable=("quad_corner",),
     )
-    for i in range(100):
+    # 70 steps: same schedule/convergence profile as the sphere fit
+    # above (decay boundary 45; converged by ~60) — VERDICT r4 #7.
+    for i in range(70):
         params, opt, _ = step(params, opt, i)
         params["quad_corner"] = params["quad_corner"].at[fixed_rows].set(
             fixed_vals)
     got = np.asarray(params["quad_corner"])[occ_row]
     err = float(np.linalg.norm(got - true_corner))
-    assert err < 0.5, f"occluder error {err:.3f} after 100 steps (started at 2.5)"
+    assert err < 0.5, f"occluder error {err:.3f} after 70 steps (started at 2.5)"
 
 
 @pytest.mark.heavy
