@@ -513,6 +513,52 @@ def test_streamed_many_spheres_subset(monkeypatch):
         assert np.abs(a - b).max() <= 1e-6 * scale, (k,)
 
 
+def test_streamed_dense_surrogates_match_monolithic(monkeypatch):
+    """Round-5 dense-surrogate streaming: with NO surrogate scope at all
+    (every class dense), the streamed kernel folds the soft-shadow and
+    silhouette sweeps chunk-by-chunk and must match the monolithic
+    kernel — loss and image bitwise, every gradient field to fp
+    reassociation (the per-chunk lane reductions re-associate the
+    per-bounce surrogate sums)."""
+    world, cam, kw = presets.cornell_spheres(width=16, height=16)
+    scene = world.build()
+    bg = jnp.asarray(kw["background"], jnp.float32)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    kw_c = dict(spp=2, max_bounces=3, background=bg, seed=0,
+                interpret=True, packed=False)
+    l0, img0, g0 = render_value_and_grad(scene, cam, target, **kw_c)
+    monkeypatch.setenv("TINYRT_DIFF_STREAM", "16")
+    l1, img1, g1 = render_value_and_grad(scene, cam, target, **kw_c)
+    assert float(l0) == float(l1)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for k in GRAD_FIELDS + ("background",):
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-5 * scale, (k,)
+
+
+def test_streamed_dense_many_spheres(monkeypatch):
+    """Dense streaming at the scale it exists for: a many-sphere scene
+    with EVERY sphere's geometry trained (no trainable_rows) — the
+    monolithic classic kernel is the interpret-mode oracle."""
+    world, cam, kw = presets.random_spheres(width=24, height=16, n=40)
+    scene = world.build()
+    bg = jnp.asarray(kw["background"], jnp.float32)
+    target = jnp.zeros((16, 24, 3), jnp.float32)
+    kw_c = dict(spp=2, max_bounces=3, background=bg, seed=1,
+                interpret=True, packed=False)
+    _, img0, g0 = render_value_and_grad(scene, cam, target, **kw_c)
+    monkeypatch.setenv("TINYRT_DIFF_STREAM", "16")
+    _, img1, g1 = render_value_and_grad(scene, cam, target, **kw_c)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for k in GRAD_FIELDS + ("background",):
+        a, b = np.asarray(g0[k]), np.asarray(g1[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        assert np.abs(a - b).max() <= 1e-5 * scale, (k,)
+    # the dense surrogates actually produce geometry signal
+    assert np.abs(np.asarray(g1["sph_center"])).max() > 0.0
+
+
 def test_fused_step_trainable_rows_masks_updates():
     """make_fused_train_step(trainable_rows=...): non-listed geometry
     rows must not move; listed rows must."""

@@ -652,17 +652,12 @@ def fit(
             # so probe its bound alone in that case (ADVICE r4): packed
             # feasibility must not promise an engine the dispatch would
             # reject at the first step.
-            # surrogate scope (VERDICT r4 #3): explicit trainable_rows
-            # subsets, or a trainable set touching no geometry, keep
-            # every surrogate class scoped — which unlocks the
-            # row-streamed classic kernel for beyond-VMEM scenes.
-            scoped = trainable_rows is not None or (
-                trainable is not None
-                and not (_GEOMETRY_FIELDS & set(trainable)))
+            # Beyond-VMEM scenes stream (VERDICT r4 #3); since round 5
+            # dense surrogate classes stream chunk-by-chunk too, so
+            # feasibility no longer depends on the surrogate scope.
             use_fused = fused_engine_feasible(
                 fused_static, mesh=mesh, max_bounces=max_bounces,
-                classic_only=trainable_rows is not None,
-                surr_scoped=scoped)
+                classic_only=trainable_rows is not None)
         engine = "fused" if use_fused else "modular"
     if engine == "fused":
         factory = functools.partial(make_fused_train_step,

@@ -261,10 +261,10 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     feasible scene doesn't get promised an engine the dispatch will
     reject.
 
-    surr_scoped (VERDICT r4 #3): the caller's fit keeps the boundary
-    surrogates scoped (trainable_rows subsets, or class scopes with no
-    class dense) — which unlocks the ROW-STREAMED classic kernel for
-    scenes beyond the monolithic VMEM model."""
+    surr_scoped: accepted for API stability; no longer consulted —
+    since round 5 the row-streamed classic kernel also streams DENSE
+    surrogate classes chunk-by-chunk, so beyond-VMEM scenes are
+    feasible regardless of surrogate scope."""
     from tinyraytracer_tpu.ops.diffkernel_packed import (
         DIFF_PACKED_MAX_PRIMS,
         DIFF_PACKED_MAX_SPHERES,
@@ -278,8 +278,9 @@ def fused_engine_feasible(st: DiffStatic, mesh=None,
     mb = 20 if max_bounces is None else max_bounces
     n_rows = st.ns + st.nq
     # interpret mode has no VMEM constraint (ADVICE r3): classic always ok
+    del surr_scoped
     classic_ok = interpret or _classic_tile(mb, n_rows) > 0
-    if not classic_ok and surr_scoped:
+    if not classic_ok:
         classic_ok = _streamed_tile(
             mb, n_rows, min(DIFF_ROW_CHUNK, n_rows)) > 0
     if classic_only:
@@ -539,10 +540,19 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 [jnp.full((1, 1), 0.0 if i is None else 1.0, jnp.float32)
                  for i in idx], axis=0)
 
+        # Streamed DENSE surrogates (round 5): with row_chunk set and a
+        # class left dense (surr None), its surrogate sweeps fold over
+        # row chunks like the candidate sweep — per-chunk bundles built
+        # from the refs feed the SAME surrogate functions, per-row grads
+        # write straight into the output tables, and the shared-chain
+        # cotangents accumulate in (1, TR) fori carries. Full-rank
+        # large-N fits (every sphere trained) thus keep a fused step.
+        stream_dense_s = bool(row_chunk) and surr_s is None
+        stream_dense_q = bool(row_chunk) and surr_q is None
         scols = dict(scx=scx, scy=scy, scz=scz, sr=sr, val=sval,
                      rows=srow_ids, k=ns, scat=None)
         if surr_s is None:
-            scols_t = scols
+            scols_t = None if row_chunk else scols
         elif len(surr_s) == 0:
             scols_t = None
         else:
@@ -562,7 +572,7 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                      wx=wqvec_x, wy=wqvec_y, wz=wqvec_z,
                      val=qval, rows=qrow_ids, k=nq, scat=None)
         if surr_q is None:
-            qcols_t = qcols
+            qcols_t = None if row_chunk else qcols
         elif len(surr_q) == 0:
             qcols_t = None
         else:
@@ -760,6 +770,139 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                 oh = ((rows == rowi)
                       & (rows >= s_begin + base0)).astype(jnp.float32)
                 ref[pl.ds(base, c), :] = ref[pl.ds(base, c), :] + cl(oh, G)
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, body, 0)
+
+        # ---- streamed DENSE surrogate machinery (round 5) -------------
+        # Per-chunk column bundles in the exact shape the surrogate fns
+        # consume; the tail-clamped overlap rows carry val=0 so they
+        # contribute nothing twice (product factors 1, grads 0).
+        def _sph_chunk_bundle(i):
+            c = min(row_chunk, ns)
+            s_begin = i * c
+            base = jnp.minimum(s_begin, ns - c)
+            blk = sphc_ref[pl.ds(base, c), :]
+            rb = sphr_ref[pl.ds(base, c), 0:1]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0) + base
+            col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + base
+            valm = ((blk[:, 0:1] < 1e29)
+                    & (col >= s_begin)).astype(jnp.float32)
+            return base, c, dict(
+                scx=blk[:, 0:1], scy=blk[:, 1:2], scz=blk[:, 2:3],
+                sr=rb, val=valm, rows=rows, k=c, scat=None)
+
+        def _quad_chunk_bundle(i):
+            c = min(row_chunk, nq)
+            s_begin = i * c
+            base = jnp.minimum(s_begin, nq - c)
+            qcb = qc_ref[pl.ds(base, c), :]
+            qub = qu_ref[pl.ds(base, c), :]
+            qvb = qv_ref[pl.ds(base, c), :]
+            cqcx, cqcy, cqcz = qcb[:, 0:1], qcb[:, 1:2], qcb[:, 2:3]
+            cqux, cquy, cquz = qub[:, 0:1], qub[:, 1:2], qub[:, 2:3]
+            cqvx, cqvy, cqvz = qvb[:, 0:1], qvb[:, 1:2], qvb[:, 2:3]
+            nxc, nyc, nzc = cross3(cqux, cquy, cquz, cqvx, cqvy, cqvz)
+            nnc = jnp.maximum(dot3(nxc, nyc, nzc, nxc, nyc, nzc), 1e-30)
+            invc = 1.0 / nnc
+            dpc = dot3(nxc, nyc, nzc, cqcx, cqcy, cqcz)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (c, tr), 0) + base
+            col = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0) + base
+            valm = ((cqcx < 1e29) & (col >= s_begin)).astype(jnp.float32)
+            return base, c, dict(
+                qcx=cqcx, qcy=cqcy, qcz=cqcz,
+                qux=cqux, quy=cquy, quz=cquz,
+                qvx=cqvx, qvy=cqvy, qvz=cqvz,
+                qnx=nxc, qny=nyc, qnz=nzc, qdp=dpc, inv_nn=invc,
+                wx=nxc * invc, wy=nyc * invc, wz=nzc * invc,
+                val=valm, rows=rows, k=c, scat=None)
+
+        def _soft_v_stream(g, bundle_of, n_rows):
+            """Full soft-visibility product via a chunked log-sum fold."""
+            c = min(row_chunk, n_rows)
+            n_ch = -(-n_rows // c)
+            is_sph = bundle_of is _sph_chunk_bundle
+
+            def body(i, logv):
+                _, _, sc = bundle_of(i)
+                f = (softshadow_fwd(g, sc) if is_sph
+                     else quad_softshadow_fwd(g, sc))
+                vs = f["vs"] if is_sph else f["vq"]
+                return logv + jnp.sum(
+                    jnp.log(jnp.maximum(vs, 1e-30)), axis=0, keepdims=True)
+
+            return jnp.exp(jax.lax.fori_loop(
+                0, n_ch, body, jnp.zeros((1, tr), jnp.float32)))
+
+        def _row_tab(grads, c, width, off=0):
+            """[(c,TR) grads] -> (c, width) table block (lane-reduced)."""
+            one = jnp.ones((1, tr), jnp.float32)
+            cols = [jnp.zeros((c, 1), jnp.float32)] * off + [
+                cl(m, one) for m in grads]
+            cols += [jnp.zeros((c, 1), jnp.float32)] * (
+                width - len(cols))
+            return jnp.concatenate(cols, axis=1)
+
+        def _sph_soft_adj_stream(v_all, cv, g):
+            c = min(row_chunk, ns)
+            n_ch = -(-ns // c)
+
+            def body(i, carry):
+                base, c_, sc = _sph_chunk_bundle(i)
+                ss = softshadow_fwd(g, sc)
+                (cscx, cscy, cscz, csr, cpx_c, cpy_c, cpz_c,
+                 cwlx_c, cwly_c, cwlz_c, cdist_c) = softshadow_adj(
+                    ss, v_all, cv, g, sc)
+                tab = _row_tab((cscx, cscy, cscz, csr), c_, 8)
+                dsph_ref[pl.ds(base, c_), :] = (
+                    dsph_ref[pl.ds(base, c_), :] + tab)
+                return tuple(a + b for a, b in zip(
+                    carry, (cpx_c, cpy_c, cpz_c,
+                            cwlx_c, cwly_c, cwlz_c, cdist_c)))
+
+            z = jnp.zeros((1, tr), jnp.float32)
+            return jax.lax.fori_loop(0, n_ch, body, (z,) * 7)
+
+        def _quad_soft_adj_stream(v_all, cv, g):
+            c = min(row_chunk, nq)
+            n_ch = -(-nq // c)
+
+            def body(i, carry):
+                base, c_, qc = _quad_chunk_bundle(i)
+                qs = quad_softshadow_fwd(g, qc)
+                qout = quad_softshadow_adj(qs, v_all, cv, g, qc)
+                tab = _row_tab(qout[:9], c_, 16)
+                dquad_ref[pl.ds(base, c_), :] = (
+                    dquad_ref[pl.ds(base, c_), :] + tab)
+                return tuple(a + b for a, b in zip(carry, qout[9:15]))
+
+            z = jnp.zeros((1, tr), jnp.float32)
+            return jax.lax.fori_loop(0, n_ch, body, (z,) * 6)
+
+        def _sph_sil_stream(st_, best_t_, rowf_, cF):
+            c = min(row_chunk, ns)
+            n_ch = -(-ns // c)
+
+            def body(i, _):
+                base, c_, sc = _sph_chunk_bundle(i)
+                s1 = silhouette_adj(st_, best_t_, rowf_, cF, sc)
+                tab = _row_tab(s1, c_, 8)
+                dsph_ref[pl.ds(base, c_), :] = (
+                    dsph_ref[pl.ds(base, c_), :] + tab)
+                return 0
+
+            jax.lax.fori_loop(0, n_ch, body, 0)
+
+        def _quad_sil_stream(st_, best_t_, rowf_, cF):
+            c = min(row_chunk, nq)
+            n_ch = -(-nq // c)
+
+            def body(i, _):
+                base, c_, qc = _quad_chunk_bundle(i)
+                qsil = quad_silhouette_adj(st_, best_t_, rowf_, cF, qc)
+                tab = _row_tab(qsil, c_, 16)
+                dquad_ref[pl.ds(base, c_), :] = (
+                    dquad_ref[pl.ds(base, c_), :] + tab)
                 return 0
 
             jax.lax.fori_loop(0, n_ch, body, 0)
@@ -1597,8 +1740,18 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                         if cs_all is not None else None)
                 qs_t = (quad_softshadow_fwd(g, qcols_t)
                         if cq_all is not None else None)
-                v_s = ss_t["v"] if ss_t is not None else one_tr
-                v_q = qs_t["v"] if qs_t is not None else one_tr
+                if ss_t is not None:
+                    v_s = ss_t["v"]
+                elif stream_dense_s:
+                    v_s = _soft_v_stream(g, _sph_chunk_bundle, ns)
+                else:
+                    v_s = one_tr
+                if qs_t is not None:
+                    v_q = qs_t["v"]
+                elif stream_dense_q:
+                    v_q = _soft_v_stream(g, _quad_chunk_bundle, nq)
+                else:
+                    v_q = one_tr
                 vcl = jnp.maximum(v_s * v_q, 1e-3)
                 cv_t = cvr / vcl
                 cwlx = cwly = cwlz = cdist = zr
@@ -1611,6 +1764,16 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                     cpx = cpx + cpx_s
                     cpy = cpy + cpy_s
                     cpz = cpz + cpz_s
+                elif stream_dense_s:
+                    (cpx_s, cpy_s, cpz_s, cwlx_s, cwly_s, cwlz_s,
+                     cdist_s) = _sph_soft_adj_stream(v_s, cv_t * v_q, g)
+                    cpx = cpx + cpx_s
+                    cpy = cpy + cpy_s
+                    cpz = cpz + cpz_s
+                    cwlx = cwlx + cwlx_s
+                    cwly = cwly + cwly_s
+                    cwlz = cwlz + cwlz_s
+                    cdist = cdist + cdist_s
                 if qs_t is not None:
                     qout = quad_softshadow_adj(
                         qs_t, v_q, cv_t * v_s, g, qcols_t)
@@ -1621,6 +1784,15 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
                     cwlx = cwlx + qout[12]
                     cwly = cwly + qout[13]
                     cwlz = cwlz + qout[14]
+                elif stream_dense_q:
+                    (cpx_q, cpy_q, cpz_q, cwlx_q, cwly_q,
+                     cwlz_q) = _quad_soft_adj_stream(v_q, cv_t * v_s, g)
+                    cpx = cpx + cpx_q
+                    cpy = cpy + cpy_q
+                    cpz = cpz + cpz_q
+                    cwlx = cwlx + cwlx_q
+                    cwly = cwly + cwly_q
+                    cwlz = cwlz + cwlz_q
                 # graw = cosx*cosy*area*NL/r2g
                 r2g = nv["r2g"]
                 area = nv["area"]
@@ -1698,15 +1870,20 @@ def _make_diff_kernel(spp: int, mb: int, ns: int, nq: int, nm: int,
             cbg_b = mlf * T1b * chb_
 
             # ---- A1 silhouette ----------------------------------------
-            if sil and (cs_all is not None or cq_all is not None):
+            if sil and (cs_all is not None or cq_all is not None
+                        or stream_dense_s or stream_dense_q):
                 cF = cT1r * T0r + cT1g * T0g + cT1b * T0b
                 if cs_all is not None:
                     s1 = silhouette_adj(st, best_t, rowf, cF, scols_t)
                     cs_all = [a + b for a, b in zip(cs_all, s1)]
+                elif stream_dense_s:
+                    _sph_sil_stream(st, best_t, rowf, cF)
                 if cq_all is not None:
                     qsil = quad_silhouette_adj(st, best_t, rowf, cF,
                                                qcols_t)
                     cq_all = [a + b for a, b in zip(cq_all, qsil)]
+                elif stream_dense_q:
+                    _quad_sil_stream(st, best_t, rowf, cF)
             cT0r, cT0g, cT0b = cT1r, cT1g, cT1b
 
             # ---- A0 normal -> point -> t -> geometry params -----------
@@ -2225,39 +2402,34 @@ def render_value_and_grad(
     env_stream = _os.environ.get("TINYRT_DIFF_STREAM")
     if not packed:
         n_rows = st.ns + st.nq
-        surr_scoped = surr_s is not None and surr_q is not None
         if interpret:
             # the host interpreter has no VMEM constraint (ADVICE r3):
             # keep the default tile unless the caller pinned one
             if tile is not None:
                 tr = _classic_tile(max_bounces, st.ns + st.nq, tile)
-            if env_stream and surr_scoped:
+            if env_stream:
                 # test hook: force the streamed kernel under interpret
                 row_chunk = min(DIFF_ROW_CHUNK, int(env_stream))
         else:
             tr = _classic_tile(max_bounces, n_rows, tile)
-            if (not tr or env_stream) and surr_scoped:
+            if not tr or env_stream:
                 # Row-streamed mode (VERDICT r4 #3): beyond the
                 # monolithic reverse sweep's VMEM model, fold the
-                # rows-sized sweeps in DIFF_ROW_CHUNK blocks — feasible
-                # whenever the surrogates are scoped (subset rows or
-                # class-off), which a large-N fit needs anyway for its
-                # O(trained-rows) surrogate cost.
+                # rows-sized sweeps in DIFF_ROW_CHUNK blocks. Scoped
+                # surrogates (subset/class-off) stream as (k, TR)
+                # gathers; dense classes stream chunk-by-chunk too
+                # (round 5), so full-rank large-N fits keep a fused
+                # step — at O(rows) surrogate cost per bounce.
                 row_chunk = min(DIFF_ROW_CHUNK, n_rows)
                 tr = _streamed_tile(max_bounces, n_rows, row_chunk, tile)
             if not tr:
-                hint = (
-                    "reduce max_bounces"
-                    if surr_scoped else
-                    "scope the boundary surrogates (pass trainable_rows "
-                    "subsets, or a trainable set that excludes one "
-                    "class's geometry) to unlock the row-streamed mode")
                 raise ValueError(
                     f"scene has {n_rows} candidate rows at "
-                    f"max_bounces={max_bounces} — beyond the fused diff "
-                    "kernel's VMEM feasibility even at a 128-lane tile; "
-                    f"{hint}, pass tile=128 to force a borderline "
-                    "config, or use the modular make_train_step path")
+                    f"max_bounces={max_bounces} — beyond even the "
+                    "row-streamed fused diff kernel's VMEM model at a "
+                    "128-lane tile; reduce max_bounces, pass tile=128 "
+                    "to force a borderline config, or use the modular "
+                    "make_train_step path")
     if packed:
         from tinyraytracer_tpu.ops.diffkernel_packed import (
             render_value_and_grad_packed,
