@@ -185,17 +185,25 @@ class World:
     def __init__(self):
         self._materials: Dict[str, Material] = {}
         self._geometries: List[Geometry] = []
+        # mutation counter: build() caches its lowering per version so
+        # repeated renders of an unmodified world (e.g. render_batch
+        # loops) reuse the same SceneArrays object — which also keys the
+        # downstream compile caches by identity
+        self._version = 0
+        self._build_cache: Dict[tuple, SceneArrays] = {}
 
     def add_material(self, name: str, material: Material) -> None:
         if name in self._materials:
             raise ValueError(f"material {name!r} already registered")
         self._materials[name] = material
+        self._version += 1
 
     def get_material(self, name: str) -> Optional[Material]:
         return self._materials.get(name)
 
     def add_geometry(self, geometry: Geometry) -> None:
         self._geometries.append(geometry)
+        self._version += 1
 
     @property
     def geometries(self) -> Sequence[Geometry]:
@@ -221,7 +229,19 @@ class World:
         return {n: m for n, m in self._materials.items() if m.kind == kind}
 
     def build(self, prim_pad: int = _PRIM_PAD) -> SceneArrays:
-        """Lower to padded SoA device arrays (in reference visit order)."""
+        """Lower to padded SoA device arrays (in reference visit order).
+
+        Cached per (mutation version, prim_pad): calling build() twice on
+        an unmodified world returns the SAME SceneArrays object."""
+        key = (self._version, prim_pad)
+        cached = self._build_cache.get(key)
+        if cached is not None:
+            return cached
+        scene = self._build_uncached(prim_pad)
+        self._build_cache = {key: scene}   # keep only the latest version
+        return scene
+
+    def _build_uncached(self, prim_pad: int = _PRIM_PAD) -> SceneArrays:
         spheres, quads = flatten_geometry(self._geometries)
         s_perm, q_perm = _reference_visit_order(self._geometries)
         spheres = [spheres[i] for i in s_perm]

@@ -130,8 +130,12 @@ def _build_clusters(cs: CompactScene):
 
     Returns (cmin (K,3), cmax (K,3)) device arrays: cluster AABBs over the
     *real* members (sphere bounds center±|r|, aabb.rs:13-19 padding).
-    All-inert clusters get an empty AABB (min > max) so the slab test culls
-    them outright. This is the TPU-native analog of the reference's
+    All-inert clusters keep the (1,-1) init — NOTE this is not an
+    auto-culling sentinel (the slab test min/max-normalizes the corner
+    pairs, so it behaves like the real box [-1,1]^3); it is unreachable
+    anyway: padding adds at most 7 inert rows per class, so every
+    8-row cluster holds a real member. This is the TPU-native analog of
+    the reference's
     two-level Metal acceleration structure (accelstructure.rs:23-67):
     level 1 = cluster AABBs (vector slab tests), level 2 = a static-order
     unrolled loop over clusters where each cluster's 8 spheres (a static
@@ -1317,10 +1321,13 @@ def _render_flat_sharded(
     has_die: bool = True,
     sky: bool = False,
     row_chunk: int = 0,
+    chunk_aabbs=None,
 ):
     """Megakernel over a (tile x sample) mesh: pixels shard over "tile",
     spp splits over "sample" with a pmean — the multi-chip forward path
-    (scene/payload replicated; the kernel runs per shard)."""
+    (scene/payload replicated; the kernel runs per shard). chunk_aabbs
+    replicate like the scene (KBs) so sharded large-N renders keep the
+    chunk-granular cull."""
     from jax.sharding import PartitionSpec as P
 
     from tinyraytracer_tpu.parallel.sharded import SAMPLE_AXIS, TILE_AXIS
@@ -1338,24 +1345,27 @@ def _render_flat_sharded(
     pid, px, py = _pixel_arrays(width, height, rp)
     pay_active, has_sph, has_quad = _active_payload(cs, pay)
 
-    def body(cs, pay_active, cam_vec, ctl, pid, px, py, clusters):
+    def body(cs, pay_active, cam_vec, ctl, pid, px, py, clusters,
+             chunk_aabbs):
         s_idx = jax.lax.axis_index(SAMPLE_AXIS).astype(jnp.int32)
         ctl = ctl.at[0, 1].add(s_idx * jnp.int32(spp_local))
         color = _run_kernel(cs, pay_active, cam_vec, ctl, pid, px, py,
                             spp_local, max_bounces, has_sph, has_quad,
                             interpret, early_exit, clusters, tr, regen,
-                            has_met, has_die, sky=sky, row_chunk=row_chunk)
+                            has_met, has_die, sky=sky, row_chunk=row_chunk,
+                            chunk_aabbs=chunk_aabbs)
         return jax.lax.pmean(color, SAMPLE_AXIS)
 
     f = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(None, TILE_AXIS), P(None, TILE_AXIS),
-                  P(None, TILE_AXIS), P()),
+                  P(None, TILE_AXIS), P(), P()),
         out_specs=P(None, TILE_AXIS),
         check_vma=False,
     )
-    color = f(cs, pay_active, cam_vec, ctl, pid, px, py, clusters)
+    color = f(cs, pay_active, cam_vec, ctl, pid, px, py, clusters,
+              chunk_aabbs)
     return color[:, :npix].T.reshape(height, width, 3)
 
 
@@ -1549,6 +1559,7 @@ class MegakernelRenderer:
                 has_die=self.has_die,
                 sky=self.sky,
                 row_chunk=row_chunk,
+                chunk_aabbs=chunk_aabbs,
             )
         return _render_flat(
             self.cs,

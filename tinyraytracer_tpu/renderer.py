@@ -238,8 +238,18 @@ class Renderer:
                 self.devices is None or len(self.devices) <= 1):
             from tinyraytracer_tpu.ops.megakernel import MegakernelRenderer
 
-            mk = MegakernelRenderer(scene, camera, self.background_color)
-            return mk.render_burst(
+            # Cache the scene-bound renderer across calls: render_burst's
+            # compiled N-seed program lives on the instance, and repeated
+            # batch calls (the animation use case) must reuse it rather
+            # than recompile per call.
+            cached = getattr(self, "_burst_mk", None)
+            if (cached is None or cached[0] is not scene
+                    or cached[1] is not camera):
+                cached = (scene, camera,
+                          MegakernelRenderer(scene, camera,
+                                             self.background_color))
+                self._burst_mk = cached
+            return cached[2].render_burst(
                 spp=self.samples_per_pixel,
                 max_bounces=self.max_bounces,
                 seeds=seeds,
