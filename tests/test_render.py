@@ -170,3 +170,56 @@ def test_render_async_matches_render():
     assert h.done()
     img_sync = r.render(cam, world)
     np.testing.assert_array_equal(img_async.data, img_sync.data)
+
+
+def test_world_build_cached_until_mutation():
+    """World.build() returns the SAME SceneArrays for an unmodified
+    world (keys the downstream compile caches by identity) and a fresh
+    lowering after any mutation."""
+    world, cam, kw = presets.sphere_ground(8, 6)
+    s1 = world.build()
+    s2 = world.build()
+    assert s1 is s2
+    from tinyraytracer_tpu.models.geometry import Sphere
+    from tinyraytracer_tpu.models.materials import Lambertian
+
+    world.add_material("extra", Lambertian((0.5, 0.5, 0.5)))
+    world.add_geometry(Sphere((2.0, 0.0, -1.0), 0.25, "extra"))
+    s3 = world.build()
+    assert s3 is not s1
+    assert int(np.asarray(s3.sph_valid).sum()) == int(
+        np.asarray(s1.sph_valid).sum()) + 1
+    # the cached object still renders (no stale internal state)
+    r = Renderer(samples_per_pixel=2, max_bounces=2,
+                 background_color=kw["background"])
+    assert np.isfinite(np.asarray(r.render_array(cam, world.build()))).all()
+
+
+def test_render_batch_reuses_burst_renderer(monkeypatch):
+    """Repeated render_batch calls on an unmodified world must reuse the
+    scene-bound burst renderer (the compiled N-seed program lives on
+    it), not rebuild per call."""
+    from tinyraytracer_tpu.ops import megakernel as mk
+
+    inits = []
+
+    class FakeMk:
+        def __init__(self, scene, camera, background, **kw):
+            inits.append(1)
+
+        def render_burst(self, *, spp, max_bounces, seeds, **kw):
+            return jnp.zeros((len(seeds), 4, 4, 3), jnp.float32)
+
+    monkeypatch.setattr(mk, "MegakernelRenderer", FakeMk)
+    world, cam, kw = presets.sphere_ground(4, 4)
+    r = Renderer(samples_per_pixel=2, max_bounces=2,
+                 background_color=kw["background"],
+                 accelerator="megakernel")
+    scene = world.build()
+    r.render_batch_array(cam, scene, seeds=[0, 1])
+    r.render_batch_array(cam, scene, seeds=[2, 3])
+    assert sum(inits) == 1, "burst renderer rebuilt on the second call"
+    # render_batch through the World goes through the build cache, so it
+    # hits the same instance too
+    r.render_batch(cam, world, seeds=[4])
+    assert sum(inits) == 1
