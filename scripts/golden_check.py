@@ -74,6 +74,19 @@ CONFIGS = [
         4.5, 14.0,
     ),
     (
+        # The 1000x1000 Cornell artifact (SURVEY.md §6 "largest
+        # checked-in render"); its spp is unrecorded — the binary's
+        # default (300, src/main.rs:15-17) assumed, like rtiow_sky.
+        # Measured on v5e: mean diff [0.29 0.05 0.45], block p99 5.2 —
+        # MUCH tighter than cornell300: at 11x the pixel count the
+        # z-fight ulp statistics average out of the image mean, so the
+        # tolerance is set tight (strong regression value).
+        "cornell1000",
+        f"{REF}/output/output_cornell_highres.png",
+        "cornell_box", 1000, 1000, 300, 20,
+        1.5, 8.0,
+    ),
+    (
         "render_test",
         f"{REF}/raytracer/output/render_test.png",
         "three_spheres", 400, 300, 3, 10,
