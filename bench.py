@@ -175,6 +175,19 @@ def _bench_large_n(result) -> None:
     dt = _best_of(once, n=2)
     result["cfg4b_random8000_400x225_spp16"] = round(w * h * spp / dt, 1)
     result["cfg4b_random8000_400x225_spp16_wall_s"] = round(dt, 3)
+    # spp=64 companion: the streamed kernel's straggler overhead (a tile
+    # waits for its slowest lane's spp samples) amortizes with more
+    # samples per dispatch — recorded so the spp dependence is honest.
+    r64 = Renderer(samples_per_pixel=64, max_bounces=mb,
+                   background_color=kw["background"], progressbar=False)
+
+    def once64(s):
+        r64.seed = s
+        jax.block_until_ready(r64.render_array(camera, scene))
+
+    once64(0)
+    dt64 = _best_of(once64, n=2)
+    result["cfg4b_random8000_400x225_spp64"] = round(w * h * 64 / dt64, 1)
 
 
 def _bench_fwdbwd(result) -> None:
