@@ -100,10 +100,47 @@ def worker(idx: int, n_proc: int) -> None:
     results["cross_process_identical"] = bool(
         (digests == digests[0]).all())
 
+    # gate 4: a TRAIN step across the process boundary (BASELINE
+    # config 5's "sharded across >= 2 hosts", to the letter). The
+    # modular sharded step runs on the global mesh — scene-gradient
+    # psum crosses the process boundary — and its loss must match the
+    # single-process, single-device step to collective-reassociation
+    # tolerance; the replicated post-step params must be identical
+    # bytes on both processes.
+    from tinyraytracer_tpu.diff import inverse
+
+    tgt = jnp.zeros((h, w, 3), jnp.float32)
+    mesh = sharded.make_mesh(jax.devices(), sample_parallel=2)
+    tstep, (tp, topt) = inverse.make_train_step(
+        scene, cam, tgt, spp=spp, max_bounces=mb, background=bg,
+        seed=0, mesh=mesh, use_kernel=False)
+    tp, topt, tloss = tstep(tp, topt, 0)
+    jax.block_until_ready((tp, topt))
+    sstep, (sp, sopt) = inverse.make_train_step(
+        scene, cam, tgt, spp=spp, max_bounces=mb, background=bg,
+        seed=0, use_kernel=False)
+    sp, sopt, sloss = sstep(sp, sopt, 0)
+    rel = abs(float(tloss) - float(sloss)) / max(abs(float(sloss)), 1e-12)
+    pbytes = np.ascontiguousarray(
+        np.asarray(tp["sph_center"], np.float32)).tobytes()
+    pdig = multihost_utils.process_allgather(
+        jnp.frombuffer(hashlib.sha256(pbytes).digest(), dtype=jnp.uint8),
+        tiled=False)
+    pdig = np.asarray(pdig).reshape(n_proc, -1)
+    results["train_step"] = {
+        "loss_sharded": float(tloss),
+        "loss_single": float(sloss),
+        "loss_rel_diff": rel,
+        "ok": bool(np.isfinite(float(tloss)) and rel <= 1e-5),
+        "params_cross_process_identical": bool((pdig == pdig[0]).all()),
+    }
+
     if idx == 0:
         print("WORKER0 " + json.dumps(results), flush=True)
     ok = (results["tile8"]["ok"] and results["tile4_sample2"]["ok"]
-          and results["cross_process_identical"])
+          and results["cross_process_identical"]
+          and results["train_step"]["ok"]
+          and results["train_step"]["params_cross_process_identical"])
     sys.exit(0 if ok else 1)
 
 

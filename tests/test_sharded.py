@@ -138,3 +138,6 @@ def test_multiprocess_distributed_executes():
     assert summary["results"]["tile8"]["max_abs_diff"] == 0.0
     assert summary["results"]["tile4_sample2"]["ok"]
     assert summary["results"]["cross_process_identical"]
+    assert summary["results"]["train_step"]["ok"]
+    assert summary["results"]["train_step"][
+        "params_cross_process_identical"]
