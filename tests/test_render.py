@@ -223,3 +223,30 @@ def test_render_batch_reuses_burst_renderer(monkeypatch):
     # hits the same instance too
     r.render_batch(cam, world, seeds=[4])
     assert sum(inits) == 1
+
+
+def test_megakernel_row_ceiling_routes_modular(monkeypatch):
+    """ADVICE r4: beyond ~VMEM/120 rows even the row-streamed megakernel
+    cannot compile — auto routing must fall back to the modular path
+    instead of failing. (Platform faked to TPU; only shapes are read.)"""
+    import jax as _jax
+    from tinyraytracer_tpu import renderer as rmod
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(rmod.jax, "devices", lambda *a: [FakeDev()])
+
+    class _Arr:
+        def __init__(self, n):
+            self.shape = (n, 3)
+
+    class FakeScene:
+        def __init__(self, n_sph, n_quad=8):
+            self.sph_center = _Arr(n_sph)
+            self.quad_corner = _Arr(n_quad)
+
+    r = rmod.Renderer(samples_per_pixel=1)
+    assert r._use_megakernel(FakeScene(10_000))
+    assert not r._use_megakernel(
+        FakeScene(rmod.Renderer._MEGAKERNEL_MAX_ROWS + 1))
