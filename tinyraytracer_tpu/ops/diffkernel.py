@@ -2387,6 +2387,11 @@ def render_value_and_grad(
             DIFF_PACKED_MAX_SPHERES,
         )
 
+        # packed wins decisively on unrollable scenes: measured at the
+        # config-5 north star (cornell_spheres 600^2 spp200 mb20, class
+        # scope) 48.9 vs the classic kernel's 8.9 Mrays/s — the (1, TR)
+        # classic row layout pays ~8x sublane underfill on per-ray work
+        # when the scene is too small to fill sublanes with primitives.
         packed = (not interpret) and (
             len(st.sph_rows) + len(st.quad_rows) <= DIFF_PACKED_MAX_PRIMS)
         if packed and len(st.sph_rows) > DIFF_PACKED_MAX_SPHERES:
